@@ -1,0 +1,177 @@
+"""TPU-native KV cache for KVzip-style query-agnostic compression.
+
+Design (vs reference `/root/reference/attention/kvcache.py`):
+
+- Fixed-capacity per-(layer, head) buffers ``k/v: (L, H_kv, C, D)`` with an
+  int32 ``lengths: (L, H_kv)`` vector — appends are O(1)
+  ``dynamic_update_slice`` writes at ``lengths[l,h]``. This removes the
+  reference's realloc-per-token copy (`attention/kvcache.py:57-73` +
+  `csrc/csrc/cuda_api.cu:15-66` reallocate the whole flattened cache every
+  decode step) and keeps every shape static for XLA.
+
+- ``RetainCache`` semantics (reference `kvcache.py:216-347`) = same buffers +
+  a boolean ``valid`` mask consulted by attention (additive -inf). One prefill
+  can then be swept over many compression ratios.
+
+- ``EvictCache`` semantics (reference `kvcache.py:14-213`) = one-shot
+  compaction gather into a smaller-capacity buffer with ragged per-head
+  lengths; decode uses ragged attention over ``lengths``.
+
+- The reference's ``slice`` (drop query/answer KV to reuse the compressed
+  context cache, `kvcache.py:82-106`) is O(1) here: appended rows live at
+  ``[lengths, lengths+T)`` and attention only reads ``[0, len)``, so restoring
+  the ``lengths``/``seen`` counters restores the cache. No gather, no copy.
+
+The cache is a pytree and is threaded functionally through jitted steps;
+engine-level code donates it so XLA performs updates in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from kvzip_tpu.config import ModelConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """KV cache state (batch=1 per sequence, like the reference harness)."""
+
+    k: jax.Array            # (L, H_kv, C, D)
+    v: jax.Array            # (L, H_kv, C, D)
+    lengths: jax.Array      # (L, H_kv) int32 — valid rows per layer/head
+    seen: jax.Array         # ()  int32 — tokens processed (rope position base)
+    valid: jax.Array        # (L, H_kv, C) bool — retain-path attendability mask
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k.shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k.shape[1]
+
+    def mem_bytes(self) -> int:
+        """Bytes held by K+V buffers (reference `_mem`, kvcache.py:114-121)."""
+        return self.k.size * self.k.dtype.itemsize * 2
+
+    def used_bytes(self) -> float:
+        """Bytes of *live* KV (per-head lengths), the post-eviction footprint."""
+        d = self.k.shape[-1]
+        rows = int(jax.device_get(self.lengths).sum())
+        return float(rows * d * self.k.dtype.itemsize * 2)
+
+
+def init_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    return KVCache(
+        k=jnp.zeros((L, H, capacity, D), dtype),
+        v=jnp.zeros((L, H, capacity, D), dtype),
+        lengths=jnp.zeros((L, H), jnp.int32),
+        seen=jnp.zeros((), jnp.int32),
+        valid=jnp.ones((L, H, capacity), jnp.bool_),
+    )
+
+
+def append_layer(k_cache: jax.Array, v_cache: jax.Array, lens: jax.Array,
+                 k_new: jax.Array, v_new: jax.Array):
+    """Append T new rows per head at each head's current length.
+
+    k_cache/v_cache: (H, C, D); lens: (H,) int32; k_new/v_new: (T, H, D).
+    Returns updated (k_cache, v_cache). O(T) per head — contrast with the
+    reference's whole-cache realloc (`csrc/cuda_api.cu:68-111`).
+    """
+    kT = jnp.swapaxes(k_new, 0, 1)  # (H, T, D)
+    vT = jnp.swapaxes(v_new, 0, 1)
+
+    def upd(cache_h, new_h, len_h):
+        return jax.lax.dynamic_update_slice(cache_h, new_h, (len_h, 0))
+
+    k_out = jax.vmap(upd)(k_cache, kT, lens)
+    v_out = jax.vmap(upd)(v_cache, vT, lens)
+    return k_out, v_out
+
+
+def snapshot(cache: KVCache) -> dict:
+    """Host-side snapshot of restore state (cheap: two small arrays)."""
+    return {"lengths": cache.lengths, "seen": cache.seen}
+
+
+def restore(cache: KVCache, snap: dict) -> KVCache:
+    """Reference ``slice(seen_token_prev)`` equivalent — O(1) counter reset."""
+    return dataclasses.replace(cache, lengths=snap["lengths"], seen=snap["seen"])
+
+
+def compact(cache: KVCache, keep: jax.Array, sink: int, new_capacity: int,
+            static_mask: Optional[jax.Array] = None) -> KVCache:
+    """Physically evict KV: gather kept rows to the front of a fresh buffer.
+
+    keep: (L, H, ctx_len) bool over the context region (reference ``valid``
+    from `_threshold`, score.py:88-120). Sink rows [0, sink) are always kept;
+    rows beyond ``sink + ctx_len`` (none at prune time) are dropped.
+
+    Implemented as a stable argsort per (layer, head) row: indices of kept
+    rows first, in original order — one gather per layer, shard-local when KV
+    is head-sharded. Replaces reference `prepare_init` (kvcache.py:152-185).
+
+    static_mask: optional (L,) bool — hybrid models evict only static layers;
+    sliding layers keep everything (reference scores static layers only,
+    `kvcache.py:534-562`).
+    """
+    L, H, C, D = cache.k.shape
+    ctx_len = keep.shape[-1]
+
+    keep_full = jnp.zeros((L, H, C), jnp.bool_)
+    keep_full = keep_full.at[:, :, :sink].set(True)
+    keep_full = jax.lax.dynamic_update_slice(
+        keep_full, keep.astype(jnp.bool_), (0, 0, sink))
+    if static_mask is not None:
+        all_rows = jnp.ones((L, H, C), jnp.bool_)
+        all_rows = all_rows & (
+            jax.lax.broadcasted_iota(jnp.int32, (L, H, C), 2) < sink + ctx_len)
+        keep_full = jnp.where(static_mask[:, None, None], keep_full, all_rows)
+
+    # stable sort: kept rows (key 0) before dropped (key 1), original order
+    order = jnp.argsort(~keep_full, axis=-1, stable=True)  # (L, H, C)
+    take = order[:, :, :new_capacity]                      # (L, H, C2)
+
+    k_new = jnp.take_along_axis(cache.k, take[..., None], axis=2)
+    v_new = jnp.take_along_axis(cache.v, take[..., None], axis=2)
+    new_lens = keep_full.sum(axis=-1).astype(jnp.int32)
+
+    # zero out the tail beyond each head's kept length (hygiene; attention
+    # masks by length so this is not load-bearing)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, H, new_capacity), 2)
+    live = col < new_lens[..., None]
+    k_new = jnp.where(live[..., None], k_new, 0)
+    v_new = jnp.where(live[..., None], v_new, 0)
+
+    return KVCache(
+        k=k_new, v=v_new, lengths=new_lens, seen=cache.seen,
+        valid=jnp.ones((L, H, new_capacity), jnp.bool_),
+    )
+
+
+def set_retain_mask(cache: KVCache, keep: jax.Array, sink: int,
+                    static_mask: Optional[jax.Array] = None) -> KVCache:
+    """Retain-path prune: store the mask; attention applies it as -inf.
+
+    Reference `RetainCache.prune` (kvcache.py:284-298) + `_get_valid`
+    (kvcache.py:300-310): [sink ones ∥ ctx mask ∥ ones for queries...].
+    """
+    L, H, C = cache.valid.shape
+    ctx_len = keep.shape[-1]
+    valid = jnp.ones((L, H, C), jnp.bool_)
+    valid = jax.lax.dynamic_update_slice(valid, keep.astype(jnp.bool_), (0, 0, sink))
+    if static_mask is not None:
+        valid = jnp.where(static_mask[:, None, None], valid, True)
+    return dataclasses.replace(cache, valid=valid)

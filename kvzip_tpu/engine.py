@@ -1,0 +1,398 @@
+"""KVzip-TPU engine: prefill → reconstruction scoring → prune → decode.
+
+Public API parity with the reference ``ModelKVzip`` wrapper
+(`/root/reference/model/wrapper.py:61-306`): ``prefill``, ``scoring``,
+``prune``, ``generate``, ``prob``, ``apply_template`` — re-designed around
+functional JAX state instead of a mutable HF cache object:
+
+- every forward is a jitted step over a fixed-capacity cache (static shapes;
+  token counts are decomposed onto a chunk ladder so the number of distinct
+  compilations is logarithmic, not per-length);
+- the reference's ``update_cache=False`` snapshot/``slice`` semantics
+  (`model/wrapper.py:120-146`) are O(1) counter restores;
+- caches are donated through every step so XLA updates buffers in place.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvzip_tpu import prune as prune_lib
+from kvzip_tpu import template as template_lib
+from kvzip_tpu.cache import KVCache, compact, init_cache, restore, set_retain_mask
+from kvzip_tpu.config import ModelConfig, resolve_config
+from kvzip_tpu.models import params as params_lib
+from kvzip_tpu.models.transformer import forward
+from kvzip_tpu.tokenizer import load_tokenizer
+
+# exact-decomposition ladder: any token count splits into a few jit shapes
+CHUNK_LADDER = (16384, 4096, 1024, 256, 64, 16, 4, 1)
+SCORE_WIDTH = 2048          # padded scoring ctx window (chunks are <= 2000)
+SCORE_Q_PAD = SCORE_WIDTH + 128  # padded repeat-pass length
+
+
+def ladder_split(n: int, ladder: Sequence[int] = CHUNK_LADDER) -> List[int]:
+    out: List[int] = []
+    for size in ladder:
+        while n >= size:
+            out.append(size)
+            n -= size
+    return out
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class KVState:
+    """Host-side handle for one context's compressed cache (cf. reference
+    EvictCache/RetainCache object state, `attention/kvcache.py:14-40`)."""
+
+    cache: KVCache
+    kv_type: str                      # "retain" | "evict"
+    sink: int                         # system-prompt rows, never evicted
+    ctx_len: int
+    prefill_len: int
+    score: Optional[jax.Array] = None  # (L, H_kv, ctx_len)
+    prefill_ids: Optional[np.ndarray] = None
+    ctx_ids: Optional[np.ndarray] = None
+    pruned: bool = False
+    _snap_lengths: Optional[np.ndarray] = None
+    _snap_seen: int = 0
+
+    def snapshot(self):
+        self._snap_lengths = np.asarray(jax.device_get(self.cache.lengths))
+        self._snap_seen = int(jax.device_get(self.cache.seen))
+
+    def restore_snapshot(self):
+        self.cache = restore(self.cache, {
+            "lengths": jnp.asarray(self._snap_lengths),
+            "seen": jnp.asarray(self._snap_seen, jnp.int32)})
+
+    def mem_gb(self) -> float:
+        return round(self.cache.mem_bytes() / 1e9, 3)
+
+    def used_gb(self) -> float:
+        return round(self.cache.used_bytes() / 1e9, 3)
+
+
+@partial(jax.jit, donate_argnames=("score",))
+def _place_scores(score, chunk, offset, n):
+    """Write the first ``n`` columns of ``chunk`` into score at ``offset``."""
+    L, H, W = chunk.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, H, W), 2)
+    cur = jax.lax.dynamic_slice(score, (0, 0, offset), (L, H, W))
+    merged = jnp.where(col < n, chunk.astype(score.dtype), cur)
+    return jax.lax.dynamic_update_slice(score, merged, (0, 0, offset))
+
+
+class Engine:
+    """TPU-native ModelKVzip (reference `model/wrapper.py:61`)."""
+
+    def __init__(
+        self,
+        model_name: str,
+        kv_type: str = "evict",
+        *,
+        config: Optional[ModelConfig] = None,
+        params=None,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        max_new_tokens: int = 512,
+        decode_budget: int = 768,
+        capacity_granularity: int = 512,
+        seed: int = 0,
+    ):
+        self.config = config or resolve_config(model_name)
+        self.name = model_name
+        self.dtype = dtype
+        if self.config.is_hybrid and kv_type == "evict":
+            # parity: reference forces retain for Gemma3 (model/wrapper.py:74-76)
+            kv_type = "retain"
+        self.kv_type = kv_type
+        self.attn_impl = attn_impl
+        self.max_new_tokens = max_new_tokens
+        self.decode_budget = max(decode_budget, max_new_tokens + 128)
+        self.capacity_granularity = capacity_granularity
+
+        if params is None:
+            params = params_lib.init_params(
+                self.config, jax.random.PRNGKey(seed), dtype)
+        self.params = params
+        self.tokenizer = tokenizer or load_tokenizer(
+            model_name, vocab_size=self.config.vocab_size)
+        self.eos_ids = tuple(template_lib.eos_ids(model_name, self.tokenizer)) or (1,)
+        self.set_chat_template()
+        self._decode_fns = {}
+
+    # ------------------------------------------------------------------ text
+    def encode(self, text: str) -> np.ndarray:
+        ids = self.tokenizer.encode(text, add_special_tokens=False)
+        return np.asarray(ids, np.int32).reshape(-1)
+
+    def decode(self, ids) -> str:
+        ids = np.asarray(ids).reshape(-1)
+        return self.tokenizer.decode(ids, skip_special_tokens=True)
+
+    def set_chat_template(self, task: str = "qa"):
+        prefix, postfix = template_lib.template(self.name, task)
+        self.sys_prompt_ids = self.encode(prefix)
+        self.postfix_ids = self.encode(postfix)
+
+    def apply_template(self, query: str) -> np.ndarray:
+        q = f"\n\n{query.strip()}"
+        return np.concatenate([self.encode(q), self.postfix_ids])
+
+    # --------------------------------------------------------------- forward
+    def _impl(self, capacity: int) -> str:
+        if self.attn_impl != "auto":
+            return self.attn_impl
+        return "dense" if capacity <= 4096 else "blockwise"
+
+    def _forward_chunks(self, ids: np.ndarray, state: KVState,
+                        collect: str = "none") -> Optional[np.ndarray]:
+        """Run ids through the model on the chunk ladder; maybe return logits."""
+        impl = self._impl(state.cache.capacity)
+        logits_parts = []
+        pos = 0
+        for size in ladder_split(len(ids)):
+            chunk = jnp.asarray(ids[pos:pos + size])
+            pos += size
+            want = collect if collect == "all" else (
+                "last" if pos == len(ids) and collect == "last" else "none")
+            res = forward(self.params, self.config, chunk, state.cache,
+                          collect_logits=want, sink=state.sink, attn_impl=impl)
+            state.cache = res.cache
+            if res.logits is not None:
+                logits_parts.append(res.logits)
+        if collect == "all":
+            return jnp.concatenate(logits_parts, axis=0)
+        if collect == "last":
+            return logits_parts[-1]
+        return None
+
+    # --------------------------------------------------------------- prefill
+    def prefill(
+        self,
+        ctx: Union[str, np.ndarray],
+        prefill_chunk_size: int = 16000,
+        load_score: bool = False,
+        do_score: bool = True,
+        head_score_dirs: Sequence[str] = ("./head_score",),
+    ) -> KVState:
+        """Chunked prefill + (optionally) KV importance scoring.
+
+        Reference `model/wrapper.py:169-195`.
+        """
+        ctx_ids = self.encode(ctx) if isinstance(ctx, str) else np.asarray(ctx)
+        prefill_ids = np.concatenate([self.sys_prompt_ids, ctx_ids])
+        sink = int(len(self.sys_prompt_ids))
+        prefill_len = int(len(prefill_ids))
+
+        extra = max(SCORE_Q_PAD, self.decode_budget)
+        capacity = _round_up(prefill_len + extra, self.capacity_granularity)
+        cache = init_cache(self.config, capacity, self.dtype)
+
+        state = KVState(
+            cache=cache, kv_type=self.kv_type, sink=sink,
+            ctx_len=int(len(ctx_ids)), prefill_len=prefill_len,
+            prefill_ids=prefill_ids, ctx_ids=ctx_ids)
+
+        pos = 0
+        while pos < prefill_len:
+            n = min(prefill_chunk_size, prefill_len - pos)
+            self._forward_chunks(prefill_ids[pos:pos + n], state)
+            pos += n
+
+        state.snapshot()
+        if do_score:
+            self.scoring(state, ctx_ids, load_score=load_score,
+                         head_score_dirs=head_score_dirs)
+        return state
+
+    # --------------------------------------------------------------- scoring
+    def self_task(self, ctx_ids: np.ndarray, chunk_size: int = 2000,
+                  prev_postfix_size: int = 8) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Build (chunk, repeat-prompt ∥ prev-tail ∥ postfix ∥ chunk) pairs.
+
+        Reference `model/wrapper.py:197-221`.
+        """
+        chunks = [ctx_ids[i:i + chunk_size]
+                  for i in range(0, len(ctx_ids), chunk_size)]
+        out = []
+        for i, a_ids in enumerate(chunks):
+            if i == 0:
+                q_ids = self.encode("\n\nRepeat the previous context exactly.")
+            else:
+                q_ids = self.encode(
+                    "\n\nRepeat the part of the previous context exactly, "
+                    "starting with ")
+                q_ids = np.concatenate([q_ids, chunks[i - 1][-prev_postfix_size:]])
+            rep = np.concatenate([q_ids, self.postfix_ids, a_ids])
+            out.append((a_ids, rep))
+        return out
+
+    def scoring(self, state: KVState, ctx_ids: np.ndarray,
+                load_score: bool = False,
+                head_score_dirs: Sequence[str] = ("./head_score",)):
+        """KV importance scoring via context reconstruction.
+
+        Reference `model/wrapper.py:223-249` + `attention/score.py:36-65`.
+        Scores land in ``state.score`` with shape (L, H_kv, ctx_len).
+        """
+        cfg = self.config
+        L, H = cfg.num_layers, cfg.num_kv_heads
+        if load_score:
+            state.score = prune_lib.load_head_score(
+                self.name, state.ctx_len, head_score_dirs)
+            return
+
+        impl = self._impl(state.cache.capacity)
+        score = jnp.zeros((L, H, _round_up(max(state.ctx_len, 1), SCORE_WIDTH)),
+                          jnp.float32)
+        start = state.sink
+        for a_ids, rep_ids in self.self_task(ctx_ids):
+            n_q = len(rep_ids)
+            rep_padded = np.zeros((SCORE_Q_PAD,), np.int32)
+            rep_padded[:n_q] = rep_ids
+            res = forward(
+                self.params, cfg, jnp.asarray(rep_padded), state.cache,
+                scoring=True,
+                score_start=jnp.asarray(start, jnp.int32),
+                score_len=jnp.asarray(len(a_ids), jnp.int32),
+                score_qlen=jnp.asarray(n_q, jnp.int32),
+                score_width=SCORE_WIDTH, sink=state.sink, attn_impl=impl)
+            state.cache = res.cache
+            score = _place_scores(score, res.chunk_scores,
+                                  jnp.asarray(start - state.sink, jnp.int32),
+                                  jnp.asarray(len(a_ids), jnp.int32))
+            start += len(a_ids)
+            state.restore_snapshot()
+
+        assert start - state.sink == state.ctx_len
+        state.score = score[:, :, :state.ctx_len]
+
+    # ----------------------------------------------------------------- prune
+    def prune(self, state: KVState, ratio: float, level: str = "pair"
+              ) -> Tuple[float, float]:
+        """Prune the KV cache; returns (threshold, true_ratio).
+
+        Retain path stores the mask (reference `kvcache.py:284-298`); evict
+        path physically compacts (reference `prune`+`prepare_init`,
+        `kvcache.py:123-185`).
+        """
+        assert state.score is not None, "run scoring() first"
+        static_layers = (self.config.static_layer_ids
+                         if self.config.is_hybrid else None)
+        keep, thres, true_ratio = prune_lib.prune_mask(
+            state.score, ratio, level, static_layers)
+
+        if state.kv_type == "retain":
+            static_mask = None
+            if static_layers is not None:
+                m = np.zeros((self.config.num_layers,), bool)
+                m[list(static_layers)] = True
+                static_mask = jnp.asarray(m)
+            state.cache = set_retain_mask(state.cache, keep, state.sink,
+                                          static_mask)
+        elif state.kv_type == "evict":
+            kept_rows = int(jax.device_get(
+                keep.sum(axis=-1).max())) + state.sink
+            new_cap = _round_up(kept_rows + self.decode_budget,
+                                self.capacity_granularity)
+            state.cache = compact(state.cache, keep, state.sink, new_cap)
+        else:
+            raise NotImplementedError(state.kv_type)
+
+        state.pruned = True
+        state.snapshot()
+        return thres, true_ratio
+
+    # -------------------------------------------------------------- generate
+    def _decode_loop(self, max_steps: int, capacity: int):
+        key = (max_steps, capacity, self._impl(capacity))
+        if key in self._decode_fns:
+            return self._decode_fns[key]
+
+        cfg = self.config
+        impl = self._impl(capacity)
+        eos = jnp.asarray(self.eos_ids, jnp.int32)
+
+        @partial(jax.jit, donate_argnames=("cache",))
+        def run(params, cache: KVCache, first_token):
+            tokens0 = jnp.zeros((max_steps + 1,), jnp.int32)
+            tokens0 = tokens0.at[0].set(first_token)
+
+            def cond(carry):
+                i, done, _, _ = carry
+                return (~done) & (i < max_steps)
+
+            def body(carry):
+                i, done, tokens, cache = carry
+                res = forward(params, cfg, tokens[i][None], cache,
+                              collect_logits="last", attn_impl=impl)
+                nxt = jnp.argmax(res.logits[-1]).astype(jnp.int32)
+                tokens = tokens.at[i + 1].set(nxt)
+                done = jnp.any(nxt == eos)
+                return (i + 1, done, tokens, res.cache)
+
+            first_done = jnp.any(first_token == eos)
+            i, done, tokens, cache = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), first_done, tokens0, cache))
+            return tokens, i, done, cache
+
+        self._decode_fns[key] = run
+        return run
+
+    def generate(self, query: Union[str, np.ndarray], state: KVState,
+                 update_cache: bool = False,
+                 max_new_tokens: Optional[int] = None) -> str:
+        """Greedy generation against the (compressed) cache.
+
+        Reference `model/wrapper.py:251-284`; default restores the context
+        cache afterwards (multi-query reuse), ``update_cache=True`` keeps the
+        query+answer KV for multi-turn.
+        """
+        query_ids = self.encode(query) if isinstance(query, str) else np.asarray(query)
+        max_new = max_new_tokens or self.max_new_tokens
+        state.snapshot()
+
+        logits = self._forward_chunks(query_ids.astype(np.int32), state, "last")
+        first = jnp.argmax(logits[-1]).astype(jnp.int32)
+
+        run = self._decode_loop(max_new - 1, state.cache.capacity)
+        tokens, n, done, cache = run(self.params, state.cache, first)
+        state.cache = cache
+
+        n = int(jax.device_get(n))
+        done = bool(jax.device_get(done))
+        tokens = np.asarray(jax.device_get(tokens))[:n + 1]
+        if done and len(tokens) and tokens[-1] in self.eos_ids:
+            tokens = tokens[:-1]
+
+        if not update_cache:
+            state.restore_snapshot()
+        else:
+            state.prefill_ids = np.concatenate(
+                [state.prefill_ids, query_ids, tokens]).astype(np.int32)
+            state.snapshot()
+        return self.decode(tokens)
+
+    # ------------------------------------------------------------------ prob
+    def prob(self, input_ids: np.ndarray, state: KVState) -> np.ndarray:
+        """Next-token probabilities for every position (reference ``_prob``,
+        `model/wrapper.py:286-306`); restores the cache afterwards."""
+        state.snapshot()
+        logits = self._forward_chunks(
+            np.asarray(input_ids, np.int32), state, "all")
+        state.restore_snapshot()
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return np.asarray(jax.device_get(probs))

@@ -1,0 +1,193 @@
+"""Attention over the fixed-capacity KV cache (jnp backends).
+
+These are the portable/XLA implementations; the Pallas kernels in
+``kvzip_tpu.ops.flash`` / ``ragged_decode`` replace them on TPU for long
+sequences. Semantics cover every path of the reference attention forwards
+(`/root/reference/attention/attn.py:19-96`):
+
+- dense causal prefill attention,
+- retain-path masked attention (boolean ``valid`` → -inf, reference
+  `kvcache.py:312-347` + flash_attn_varlen),
+- ragged per-head decode over compacted caches (reference
+  `kvcache.py:187-213` packs each kv head as its own varlen sequence; here
+  per-head lengths mask the shared capacity buffer).
+
+Masking rule used everywhere: key row ``j`` of head ``h`` is attendable by
+query ``i`` (0-based within the new block) iff ``j < base_len[h] + i + 1`` and
+``valid[h, j]`` — this single formula covers uniform prefill, masked retain
+decode, and post-compaction ragged decode (new rows are appended at
+``base_len[h]``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def attend_dense(
+    q: jax.Array,               # (T, H, D)
+    k_cache: jax.Array,         # (H_kv, C, D)
+    v_cache: jax.Array,         # (H_kv, C, D)
+    base_lens: jax.Array,       # (H_kv,) int32 — lengths before this block's append
+    valid: Optional[jax.Array],  # (H_kv, C) bool or None
+    *,
+    scale: float,
+    q_pos0: Optional[jax.Array] = None,  # () int32 — global position of query 0
+    window: Optional[int] = None,        # sliding-window size (gemma3 local layers)
+) -> jax.Array:
+    """Reference jnp attention; returns (T, H, D). fp32 softmax."""
+    T, H, D = q.shape
+    Hkv, C, _ = k_cache.shape
+    G = H // Hkv
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)  # (Hkv, G, T, D)
+    scores = jnp.einsum("hgtd,hcd->hgtc", qg.astype(jnp.float32),
+                        k_cache.astype(jnp.float32)) * scale
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T, C), 2)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T, C), 1)
+    mask = col < (base_lens[:, None, None] + row + 1)
+    if valid is not None:
+        mask = mask & valid[:, None, :]
+    if window is not None and q_pos0 is not None:
+        # cache row j has global position j in the uniform (never-compacted)
+        # phase; sliding layers are retain-only so this always holds for them
+        q_pos = q_pos0 + row
+        mask = mask & (col > q_pos - window)
+
+    scores = jnp.where(mask[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("hgtc,hcd->hgtd", probs, v_cache.astype(jnp.float32))
+    return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(q.dtype)
+
+
+def attend_blockwise(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    base_lens: jax.Array,
+    valid: Optional[jax.Array],
+    *,
+    scale: float,
+    q_pos0: Optional[jax.Array] = None,
+    window: Optional[int] = None,
+    kv_block: int = 1024,
+) -> jax.Array:
+    """Online-softmax attention scanned over KV blocks (flash-style in XLA).
+
+    Never materializes (T, C) probabilities — memory is O(T * kv_block). Works
+    on any backend; the Pallas kernel supersedes it on TPU.
+    """
+    T, H, D = q.shape
+    Hkv, C, _ = k_cache.shape
+    G = H // Hkv
+    kv_block = min(kv_block, C)
+    while C % kv_block:
+        kv_block //= 2
+    nblocks = C // kv_block
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3).astype(jnp.float32)  # (Hkv,G,T,D)
+    kb = k_cache.reshape(Hkv, nblocks, kv_block, D)
+    vb = v_cache.reshape(Hkv, nblocks, kv_block, D)
+    validb = None if valid is None else valid.reshape(Hkv, nblocks, kv_block)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T, kv_block), 1)
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T, kv_block), 2)
+
+    def body(carry, xs):
+        m, l, acc = carry  # (Hkv,G,T,1), (Hkv,G,T,1), (Hkv,G,T,D)
+        k_blk, v_blk, vmask_blk, blk_idx = xs
+        col = col_local + blk_idx * kv_block
+        mask = col < (base_lens[:, None, None] + row + 1)
+        if vmask_blk is not None:
+            mask = mask & vmask_blk[:, None, :]
+        if window is not None and q_pos0 is not None:
+            mask = mask & (col > (q_pos0 + row) - window)
+
+        s = jnp.einsum("hgtd,hcd->hgtc", qg, k_blk.astype(jnp.float32)) * scale
+        s = jnp.where(mask[:, None, :, :], s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        # guard fully-masked state: exp(-inf - -inf) -> use where
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum("hgtc,hcd->hgtd", p, v_blk.astype(jnp.float32))
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((Hkv, G, T, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hkv, G, T, 1), jnp.float32)
+    acc0 = jnp.zeros((Hkv, G, T, D), jnp.float32)
+
+    xs = (jnp.swapaxes(kb, 0, 1), jnp.swapaxes(vb, 0, 1),
+          None if validb is None else jnp.swapaxes(validb, 0, 1),
+          jnp.arange(nblocks))
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
+
+    out = acc / jnp.maximum(l, 1e-37)
+    return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(q.dtype)
+
+
+def reconstruction_scores(
+    q: jax.Array,          # (T, H, D) — queries of the repeat pass (post-rope)
+    k_sink: jax.Array,     # (H_kv, S_sink, D) — sink keys (system prompt)
+    k_ctx: jax.Array,      # (H_kv, S_ctx, D) — context window chunk (padded)
+    k_rep: jax.Array,      # (T, H_kv, D) — keys of the repeat window itself
+    ctx_len: jax.Array,    # () int32 — true chunk length (<= S_ctx)
+    *,
+    scale: float,
+    q_valid: Optional[jax.Array] = None,  # () int32 — true #queries (<= T)
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """KVzip importance scores for one layer & one scoring chunk.
+
+    Exact semantics of reference ``KVScore._get_score``
+    (`attention/score.py:36-65`): softmax over the concatenated
+    [sink ∥ ctx chunk ∥ repeat window] keys (NOT the full cache), causal mask
+    only on the trailing T×T block, logits quantized to model dtype before the
+    softmax (the reference softmaxes bf16 tensors), then
+    ``amax`` over (group, query) of the ctx columns → (H_kv, S_ctx).
+
+    Padding columns of k_ctx beyond ``ctx_len`` are masked out.
+    """
+    T, H, D = q.shape
+    Hkv = k_sink.shape[0]
+    G = H // Hkv
+    S_sink, S_ctx = k_sink.shape[1], k_ctx.shape[1]
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)  # (Hkv, G, T, D)
+    keys = jnp.concatenate(
+        [k_sink, k_ctx, jnp.swapaxes(k_rep, 0, 1)], axis=1)  # (Hkv, S_sink+S_ctx+T, D)
+
+    logits = jnp.einsum("hgtd,hkd->hgtk", qg.astype(jnp.float32),
+                        keys.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+
+    K = S_sink + S_ctx + T
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, K), 0)
+    # causal on the trailing T x T block only (score.py:67-85)
+    causal_bad = (col >= S_sink + S_ctx) & (col - (S_sink + S_ctx) > row)
+    # mask padded ctx columns (ctx chunk shorter than the static window)
+    pad_bad = (col >= S_sink + ctx_len) & (col < S_sink + S_ctx)
+    bad = causal_bad | pad_bad
+
+    logits = jnp.where(bad[None, None, :, :], NEG_INF, logits)
+    # parity: reference computes softmax on model-dtype (bf16) logits
+    logits = logits.astype(out_dtype).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+
+    ctx_probs = jax.lax.dynamic_slice_in_dim(probs, S_sink, S_ctx, axis=-1)
+    if q_valid is not None:
+        # exclude padded queries from the amax (the engine pads the repeat
+        # pass to a fixed shape so every scoring chunk shares one compile)
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0)
+        ctx_probs = jnp.where(qrow[None, None] < q_valid, ctx_probs, 0.0)
+    score = ctx_probs.max(axis=(1, 2))  # amax over (group, query) -> (Hkv, S_ctx)
+    return score.astype(out_dtype)
