@@ -33,8 +33,6 @@ from kvzip_tpu.tokenizer import load_tokenizer
 
 # exact-decomposition ladder: any token count splits into a few jit shapes
 CHUNK_LADDER = (16384, 4096, 1024, 256, 64, 16, 4, 1)
-SCORE_WIDTH = 2048          # padded scoring ctx window (chunks are <= 2000)
-SCORE_Q_PAD = SCORE_WIDTH + 128  # padded repeat-pass length
 
 
 def ladder_split(n: int, ladder: Sequence[int] = CHUNK_LADDER) -> List[int]:
@@ -109,6 +107,7 @@ class Engine:
         max_new_tokens: int = 512,
         decode_budget: int = 768,
         capacity_granularity: int = 512,
+        score_chunk_size: int = 2000,
         seed: int = 0,
     ):
         self.config = config or resolve_config(model_name)
@@ -122,6 +121,11 @@ class Engine:
         self.max_new_tokens = max_new_tokens
         self.decode_budget = max(decode_budget, max_new_tokens + 128)
         self.capacity_granularity = capacity_granularity
+        # scoring window geometry (reference chunk 2000, model/wrapper.py:200);
+        # padded to static shapes so all scoring chunks share one compilation
+        self.score_chunk_size = score_chunk_size
+        self.score_width = _round_up(score_chunk_size, 128)
+        self.score_q_pad = self.score_width + 256
 
         if params is None:
             params = params_lib.init_params(
@@ -197,7 +201,7 @@ class Engine:
         sink = int(len(self.sys_prompt_ids))
         prefill_len = int(len(prefill_ids))
 
-        extra = max(SCORE_Q_PAD, self.decode_budget)
+        extra = max(self.score_q_pad, self.decode_budget)
         capacity = _round_up(prefill_len + extra, self.capacity_granularity)
         cache = init_cache(self.config, capacity, self.dtype)
 
@@ -256,12 +260,17 @@ class Engine:
             return
 
         impl = self._impl(state.cache.capacity)
-        score = jnp.zeros((L, H, _round_up(max(state.ctx_len, 1), SCORE_WIDTH)),
-                          jnp.float32)
+        score = jnp.zeros(
+            (L, H, _round_up(max(state.ctx_len, 1), self.score_width)),
+            jnp.float32)
         start = state.sink
-        for a_ids, rep_ids in self.self_task(ctx_ids):
+        for a_ids, rep_ids in self.self_task(ctx_ids, self.score_chunk_size):
             n_q = len(rep_ids)
-            rep_padded = np.zeros((SCORE_Q_PAD,), np.int32)
+            if n_q > self.score_q_pad:
+                raise ValueError(
+                    f"repeat pass needs {n_q} tokens > score_q_pad "
+                    f"{self.score_q_pad}; raise score_chunk_size padding")
+            rep_padded = np.zeros((self.score_q_pad,), np.int32)
             rep_padded[:n_q] = rep_ids
             res = forward(
                 self.params, cfg, jnp.asarray(rep_padded), state.cache,
@@ -269,7 +278,8 @@ class Engine:
                 score_start=jnp.asarray(start, jnp.int32),
                 score_len=jnp.asarray(len(a_ids), jnp.int32),
                 score_qlen=jnp.asarray(n_q, jnp.int32),
-                score_width=SCORE_WIDTH, sink=state.sink, attn_impl=impl)
+                score_width=self.score_width, sink=state.sink,
+                attn_impl=impl)
             state.cache = res.cache
             score = _place_scores(score, res.chunk_scores,
                                   jnp.asarray(start - state.sink, jnp.int32),

@@ -77,7 +77,7 @@ def prune_mask(score: jax.Array, ratio: float, level: str = "pair",
         valid, thres = threshold_uniform(score, ratio, static_layers)
     else:
         valid, thres = threshold_global(score, ratio, static_layers)
-    true_ratio = float(jax.device_get(valid.mean()))
+    true_ratio = int(jax.device_get(valid.sum())) / valid.size
     return valid, thres, true_ratio
 
 

@@ -42,11 +42,12 @@ class ByteTokenizer:
 
 
 def load_tokenizer(model_id: str, vocab_size: int = 512):
-    """Try HF AutoTokenizer (local cache / path); else ByteTokenizer."""
+    """Try HF AutoTokenizer (local path or cache only; no network); else
+    fall back to the deterministic ByteTokenizer."""
     try:
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(model_id, trust_remote_code=True)
-        return tok
+        return AutoTokenizer.from_pretrained(
+            model_id, trust_remote_code=True, local_files_only=True)
     except Exception:
         return ByteTokenizer(vocab_size=vocab_size)
