@@ -1,0 +1,124 @@
+"""End-of-round benchmark: decode throughput with a KVzip-compressed cache.
+
+Measures the reference's headline scenario (BASELINE.md: ≈2× decode speedup,
+3–4× KV reduction at ratio 0.3) on one real TPU chip: prefill a long context,
+run reconstruction scoring, evict at ratio 0.3, and compare decode tokens/s
+and KV bytes against the full cache.
+
+Prints ONE JSON line to stdout; phase details go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
+    import jax
+    import jax.numpy as jnp
+
+    from kvzip_tpu.config import resolve_config
+    from kvzip_tpu.engine import Engine
+
+    cfg = resolve_config(model_name)
+    log(f"model={model_name} L={cfg.num_layers} H={cfg.num_heads}/"
+        f"{cfg.num_kv_heads} D={cfg.hidden_size} ctx={ctx_tokens}")
+
+    eng = Engine(model_name, kv_type="evict", config=cfg, dtype=jnp.bfloat16,
+                 max_new_tokens=decode_tokens, decode_budget=decode_tokens + 256,
+                 attn_impl="blockwise")
+    # benchmark decodes a fixed token count: disable EOS stopping
+    eng.eos_ids = (-1,)
+
+    rng = np.random.default_rng(0)
+    ctx_ids = rng.integers(1, cfg.vocab_size - 10, size=ctx_tokens).astype(np.int32)
+
+    t0 = time.time()
+    state = eng.prefill(ctx_ids, do_score=False)
+    jax.block_until_ready(state.cache.k)
+    t_prefill = time.time() - t0
+    log(f"prefill: {t_prefill:.2f}s ({ctx_tokens / t_prefill:.0f} tok/s), "
+        f"cache {state.mem_gb()} GB")
+
+    t0 = time.time()
+    eng.scoring(state, ctx_ids)
+    jax.block_until_ready(state.score)
+    t_score = time.time() - t0
+    log(f"scoring: {t_score:.2f}s")
+
+    full_bytes = state.cache.used_bytes()
+
+    def bench_decode(st, tag):
+        q = eng.apply_template("Summarize the context.")
+        # warmup at the measured shape (compile), then time the second run
+        eng.generate(q, st, max_new_tokens=decode_tokens)
+        t0 = time.time()
+        eng.generate(q, st, max_new_tokens=decode_tokens)
+        dt = time.time() - t0
+        n = decode_tokens
+        log(f"decode[{tag}]: {n} tokens in {dt:.2f}s -> "
+            f"{1000 * dt / n:.2f} ms/tok")
+        return dt / n
+
+    ms_full = bench_decode(state, "full")
+
+    t0 = time.time()
+    thres, true_ratio = eng.prune(state, ratio, "pair")
+    jax.block_until_ready(state.cache.k)
+    t_prune = time.time() - t0
+    pruned_bytes = state.cache.used_bytes()
+    log(f"prune: {t_prune:.2f}s, true ratio {true_ratio:.3f}, "
+        f"KV {full_bytes / 1e9:.2f} -> {pruned_bytes / 1e9:.2f} GB "
+        f"({full_bytes / max(pruned_bytes, 1):.2f}x)")
+
+    ms_pruned = bench_decode(state, f"evict@{ratio}")
+
+    speedup = ms_full / ms_pruned
+    kv_reduction = full_bytes / max(pruned_bytes, 1)
+    toks_per_s = 1.0 / ms_pruned
+    log(f"decode speedup {speedup:.2f}x, KV reduction {kv_reduction:.2f}x, "
+        f"{toks_per_s:.1f} tok/s post-eviction")
+    return {
+        "toks_per_s": toks_per_s,
+        "speedup": speedup,
+        "kv_reduction": kv_reduction,
+        "prefill_s": t_prefill,
+        "scoring_s": t_score,
+        "prune_s": t_prune,
+    }
+
+
+def main():
+    model = os.environ.get("BENCH_MODEL", "llama3.2-1b")
+    ctx = int(os.environ.get("BENCH_CTX", 32768))
+    dec = int(os.environ.get("BENCH_DECODE", 64))
+    ratio = float(os.environ.get("BENCH_RATIO", 0.3))
+
+    try:
+        r = run(model, ctx, dec, ratio)
+        # reference headline: 2.03x decode speedup at ratio 0.3 (demo.png)
+        out = {
+            "metric": f"decode tokens/s/chip post-eviction (r={ratio}, "
+                      f"{model}, {ctx} ctx); speedup vs full cache",
+            "value": round(r["toks_per_s"], 2),
+            "unit": "tokens/s",
+            "vs_baseline": round(r["speedup"] / 2.03, 3),
+            "detail": {k: round(v, 3) for k, v in r.items()},
+        }
+    except Exception as e:  # report failure as a JSON line, not a crash
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        out = {"metric": "bench failed", "value": 0, "unit": "",
+               "vs_baseline": 0, "error": str(e)}
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,7 @@ class Engine:
         decode_budget: int = 768,
         capacity_granularity: int = 512,
         score_chunk_size: int = 2000,
+        mesh=None,
         seed: int = 0,
     ):
         self.config = config or resolve_config(model_name)
@@ -130,6 +131,10 @@ class Engine:
         if params is None:
             params = params_lib.init_params(
                 self.config, jax.random.PRNGKey(seed), dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from kvzip_tpu.parallel import shard_params
+            params = shard_params(self.config, mesh, params)
         self.params = params
         self.tokenizer = tokenizer or load_tokenizer(
             model_name, vocab_size=self.config.vocab_size)
@@ -204,6 +209,9 @@ class Engine:
         extra = max(self.score_q_pad, self.decode_budget)
         capacity = _round_up(prefill_len + extra, self.capacity_granularity)
         cache = init_cache(self.config, capacity, self.dtype)
+        if self.mesh is not None:
+            from kvzip_tpu.parallel import shard_cache
+            cache = shard_cache(self.mesh, cache)
 
         state = KVState(
             cache=cache, kv_type=self.kv_type, sink=sink,

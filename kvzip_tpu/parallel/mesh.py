@@ -1,0 +1,126 @@
+"""Device mesh + sharding layout for multi-chip serving.
+
+The reference has no distributed execution (SURVEY.md §2b — its only
+multi-GPU mechanism is accelerate ``device_map="auto"`` layer placement,
+`model/load.py:60`). Here parallelism is first-class and TPU-native:
+
+- mesh axes ``("data", "model")`` over ICI; ``model`` = tensor parallelism
+  over attention heads (Megatron-style), ``data`` = batch/continuous batching.
+- KV caches are sharded over the kv-head axis — which composes naturally with
+  KVzip's per-head ragged eviction: each shard's lengths/scores/compaction are
+  fully shard-local, so *eviction requires no collectives* beyond the global
+  threshold (a scalar) computed at prune time.
+- XLA GSPMD inserts the actual collectives (psum after o_proj/down_proj when
+  activations stay replicated) — nothing hand-written on the compute path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from kvzip_tpu.config import ModelConfig
+
+
+def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
+              devices=None) -> Mesh:
+    """Build a ("data", "model") mesh.
+
+    tp defaults to all devices (pure tensor parallelism); pass tp < n to get
+    a data axis for batch parallelism.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    devices = np.asarray(devices[:n])
+    tp = tp or n
+    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
+    return Mesh(devices.reshape(n // tp, tp), ("data", "model"))
+
+
+def param_pspecs(cfg: ModelConfig) -> dict:
+    """PartitionSpecs for the parameter pytree (Megatron TP over heads).
+
+    qkv projections column-parallel (heads on "model"), o_proj row-parallel;
+    MLP gate/up column-, down row-parallel; embeddings/lm_head sharded over
+    vocab. Activations remain replicated — XLA inserts the psum after the
+    row-parallel matmuls.
+    """
+    lp = {
+        "wq": P(None, None, "model"),
+        "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+        "w_gate": P(None, None, "model"),
+        "w_up": P(None, None, "model"),
+        "w_down": P(None, "model", None),
+        "ln_attn": P(), "ln_mlp": P(),
+        "bq": P(None, "model"), "bk": P(None, "model"), "bv": P(None, "model"),
+        "q_norm": P(), "k_norm": P(),
+        "ln_post_attn": P(), "ln_post_mlp": P(),
+    }
+    return {
+        "embed": P("model", None),
+        "layers": lp,
+        "final_norm": P(),
+        "lm_head": P("model", None),
+    }
+
+
+def cache_pspecs() -> "P":
+    """KV cache spec: kv heads on "model" (k/v/lengths/valid head-sharded)."""
+    return {
+        "k": P(None, "model", None, None),
+        "v": P(None, "model", None, None),
+        "lengths": P(None, "model"),
+        "seen": P(),
+        "valid": P(None, "model", None),
+    }
+
+
+def _trim(tree_specs: dict, tree: dict) -> dict:
+    """Keep only spec entries present in the actual pytree."""
+    out = {}
+    for k, v in tree.items():
+        spec = tree_specs.get(k)
+        if isinstance(v, dict):
+            out[k] = _trim(spec or {}, v)
+        else:
+            out[k] = spec if spec is not None else P()
+    return out
+
+
+def param_sharding(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
+    specs = _trim(param_pspecs(cfg), params)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def cache_sharding(mesh: Mesh) -> dict:
+    return {k: NamedSharding(mesh, v) for k, v in cache_pspecs().items()}
+
+
+def shard_params(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
+    """device_put parameters with TP shardings (validates divisibility)."""
+    tp = mesh.shape["model"]
+    assert cfg.num_kv_heads % tp == 0 or tp % cfg.num_kv_heads == 0, (
+        f"model axis {tp} incompatible with {cfg.num_kv_heads} kv heads")
+    shardings = param_sharding(cfg, mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def shard_cache(mesh: Mesh, cache):
+    import dataclasses
+
+    sh = cache_sharding(mesh)
+    return dataclasses.replace(
+        cache,
+        k=jax.device_put(cache.k, sh["k"]),
+        v=jax.device_put(cache.v, sh["v"]),
+        lengths=jax.device_put(cache.lengths, sh["lengths"]),
+        seen=jax.device_put(cache.seen, sh["seen"]),
+        valid=jax.device_put(cache.valid, sh["valid"]),
+    )
