@@ -161,15 +161,24 @@ class Engine:
         return np.concatenate([self.encode(q), self.postfix_ids])
 
     # --------------------------------------------------------------- forward
-    def _impl(self, capacity: int) -> str:
+    def _impl(self, state: "KVState") -> str:
+        # Pallas flash whenever the shape allows (no retain-mask needed,
+        # 128-aligned head_dim, TPU backend); else XLA blockwise/dense.
         if self.attn_impl != "auto":
             return self.attn_impl
-        return "dense" if capacity <= 4096 else "blockwise"
+        from kvzip_tpu.ops import flash as flash_lib
+        needs_valid = state.pruned and state.kv_type == "retain"
+        if (not needs_valid and not self.config.is_hybrid
+                and flash_lib.supported(self.config.head_dim,
+                                        state.cache.capacity)
+                and jax.default_backend() != "cpu"):
+            return "flash"
+        return "dense" if state.cache.capacity <= 4096 else "blockwise"
 
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
                         collect: str = "none") -> Optional[np.ndarray]:
         """Run ids through the model on the chunk ladder; maybe return logits."""
-        impl = self._impl(state.cache.capacity)
+        impl = self._impl(state)
         logits_parts = []
         pos = 0
         for size in ladder_split(len(ids)):
@@ -267,7 +276,7 @@ class Engine:
                 self.name, state.ctx_len, head_score_dirs)
             return
 
-        impl = self._impl(state.cache.capacity)
+        impl = self._impl(state)
         score = jnp.zeros(
             (L, H, _round_up(max(state.ctx_len, 1), self.score_width)),
             jnp.float32)
@@ -335,13 +344,12 @@ class Engine:
         return thres, true_ratio
 
     # -------------------------------------------------------------- generate
-    def _decode_loop(self, max_steps: int, capacity: int):
-        key = (max_steps, capacity, self._impl(capacity))
+    def _decode_loop(self, max_steps: int, capacity: int, impl: str):
+        key = (max_steps, capacity, impl)
         if key in self._decode_fns:
             return self._decode_fns[key]
 
         cfg = self.config
-        impl = self._impl(capacity)
         eos = jnp.asarray(self.eos_ids, jnp.int32)
 
         @partial(jax.jit, donate_argnames=("cache",))
@@ -386,7 +394,8 @@ class Engine:
         logits = self._forward_chunks(query_ids.astype(np.int32), state, "last")
         first = jnp.argmax(logits[-1]).astype(jnp.int32)
 
-        run = self._decode_loop(max_new - 1, state.cache.capacity)
+        run = self._decode_loop(max_new - 1, state.cache.capacity,
+                                self._impl(state))
         tokens, n, done, cache = run(self.params, state.cache, first)
         state.cache = cache
 

@@ -159,7 +159,14 @@ def forward(
         win = None
         if windows is not None:
             win = windows[layer_idx]
-        if attn_impl == "blockwise":
+        if attn_impl in ("flash", "flash_interpret"):
+            # Pallas kernel: streams only live KV (no valid-mask support —
+            # the engine routes pruned-retain decode elsewhere)
+            from kvzip_tpu.ops.flash import flash_attend
+            attn_out = flash_attend(
+                q, k_cache, v_cache, base_lens, q_pos0, scale=scale,
+                interpret=(attn_impl == "flash_interpret"))
+        elif attn_impl == "blockwise":
             attn_out = attn_ops.attend_blockwise(
                 q, k_cache, v_cache, base_lens, valid_l, scale=scale,
                 q_pos0=q_pos0, window=win)
