@@ -96,7 +96,9 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
 
 
 def main():
-    model = os.environ.get("BENCH_MODEL", "llama3.2-1b")
+    # default flagship: llama3.2-3b — head_dim 128 (Pallas flash path),
+    # 6.4 GB bf16 weights + 32k-ctx cache fit one v5e chip
+    model = os.environ.get("BENCH_MODEL", "llama3.2-3b")
     ctx = int(os.environ.get("BENCH_CTX", 32768))
     dec = int(os.environ.get("BENCH_DECODE", 64))
     ratio = float(os.environ.get("BENCH_RATIO", 0.3))

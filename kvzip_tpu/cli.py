@@ -1,0 +1,234 @@
+"""Command-line entry points (reference `args.py` + `test.py`/`eval.py`/
+`demo.py`/`results/parse.py`).
+
+Usage:
+    python -m kvzip_tpu.cli test  -m llama3.2-3b -d squad --ratio 0.3
+    python -m kvzip_tpu.cli eval  -m llama3.2-3b -d squad --level pair
+    python -m kvzip_tpu.cli demo  [-m kvzip|kvzip_head|no|full]
+    python -m kvzip_tpu.cli parse -m llama3.2-3b -d squad --level pair
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from collections import defaultdict
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="kvzip_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("-r", "--ratio", type=float, default=0.3,
+                        help="compression ratio (= retained/full)")
+        sp.add_argument("--kv_type", type=str, default="evict",
+                        choices=["evict", "retain"])
+        sp.add_argument("--level", type=str, default="pair",
+                        choices=["pair", "head", "pair-uniform"])
+        sp.add_argument("-m", "--model", type=str, default="llama3.2-3b")
+        sp.add_argument("-d", "--data", type=str, default="squad")
+        sp.add_argument("--idx", type=int, default=0)
+        sp.add_argument("--num", type=int, default=1)
+        sp.add_argument("--tag", type=str, default=None)
+        sp.add_argument("--save_head_score", action="store_true")
+        sp.add_argument("--dtype", type=str, default="bfloat16")
+        sp.add_argument("--tp", type=int, default=0,
+                        help="tensor-parallel degree (0 = all devices)")
+
+    sp_test = sub.add_parser("test", help="profile + full-vs-pruned compare")
+    common(sp_test)
+    sp_eval = sub.add_parser("eval", help="accuracy-vs-ratio sweep")
+    common(sp_eval)
+    sp_demo = sub.add_parser("demo", help="end-to-end compression demo")
+    sp_demo.add_argument("-m", "--mode", default="kvzip",
+                         choices=["kvzip", "kvzip_head", "no", "full"])
+    sp_demo.add_argument("--model", type=str, default="llama3.2-3b")
+    sp_demo.add_argument("--context_file", type=str, default=None)
+    sp_parse = sub.add_parser("parse", help="aggregate result JSONs")
+    common(sp_parse)
+    sp_parse.add_argument("--task", type=str, default="qa")
+    return p
+
+
+def make_engine(args):
+    import jax.numpy as jnp
+
+    from kvzip_tpu.engine import Engine
+
+    mesh = None
+    if args.tp:
+        from kvzip_tpu.parallel import make_mesh
+
+        mesh = make_mesh(tp=args.tp)
+    return Engine(args.model, kv_type=args.kv_type,
+                  dtype=getattr(jnp, args.dtype), mesh=mesh)
+
+
+def set_ratios(model_name: str, include_full: bool = False):
+    ratios = ([0.9, 0.8, 0.7, 0.6, 0.5, 0.4] if model_name == "duo"
+              else [0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1])
+    return ([1.0] + ratios) if include_full else ratios
+
+
+def cmd_test(args):
+    from kvzip_tpu import prune as prune_lib
+    from kvzip_tpu.data import DataWrapper, load_dataset_all
+    from kvzip_tpu.eval import Evaluator
+    from kvzip_tpu.utils import TimeStamp
+
+    engine = make_engine(args)
+    dataset = DataWrapper(args.data, load_dataset_all(args.data, engine.tokenizer),
+                          engine)
+    tt = TimeStamp(verbose=True)
+
+    state = dataset.prefill_context(args.idx, load_score=args.level == "head")
+    tt("prefill context and get importance score")
+
+    inputs, info = dataset.generate_answer(args.idx, state)
+    tt("get answers and prediction probabilities for evaluation")
+
+    if args.save_head_score:
+        path = prune_lib.save_head_score(state.score, engine.name, args.data,
+                                         args.idx)
+        print("saved head score:", path)
+
+    engine.prune(state, args.ratio, args.level)
+    evaluator = Evaluator(engine, inputs, info, verbose=True)
+    for task in info.keys():
+        tt.set()
+        evaluator.generation(state, task)
+        tt(f"generation at ratio {args.ratio}")
+        evaluator.forward(state, task)
+
+
+def cmd_eval(args):
+    from kvzip_tpu.data import DataWrapper, load_dataset_all
+    from kvzip_tpu.eval import Evaluator
+    from kvzip_tpu.utils import TimeStamp, save_result, set_gen_length
+
+    # retain cache sweeps many ratios from one prefill (reference eval.py:18)
+    args.kv_type = "retain"
+    engine = make_engine(args)
+    dataset = DataWrapper(args.data, load_dataset_all(args.data, engine.tokenizer),
+                          engine)
+    set_gen_length(args.data, engine)
+
+    tt = TimeStamp(True)
+    max_idx = min(args.idx + args.num, len(dataset))
+    print("=" * 80, f"\nStart evaluation with {args.idx}~{max_idx} samples")
+
+    for data_idx in range(args.idx, max_idx):
+        state = dataset.prefill_context(data_idx,
+                                        load_score=args.level == "head")
+        inputs, info = dataset.generate_answer(data_idx, state)
+        evaluator = Evaluator(engine, inputs, info)
+
+        outputs = defaultdict(list)
+        for ratio in set_ratios(args.model):
+            thres, ratio_true = engine.prune(state, ratio, args.level)
+            results = evaluator(state, generate=True)
+            for fmt, v in results.items():
+                outputs[fmt].append(
+                    [[ratio, round(ratio_true, 4), round(thres, 4)], v])
+        save_result(outputs, args.data, data_idx, engine.name,
+                    level=args.level, tag=args.tag or "")
+        tt(f"{args.data}-{data_idx}")
+    print("Finished.")
+
+
+def cmd_demo(args):
+    from kvzip_tpu.engine import Engine
+    from kvzip_tpu.utils import TimeStamp
+    from kvzip_tpu.data.needle import synthetic_haystack
+
+    stamp = TimeStamp(verbose=True, unit="ms")
+    engine = Engine(args.model)
+
+    if args.context_file:
+        with open(args.context_file) as f:
+            context = f.read()
+    else:
+        context = synthetic_haystack(400_000, seed=42)
+        secret = ("\nIMPORTANT: the maximum number of tokens per cache page "
+                  "is 256, and quantized layers support 2 to 8 bits.\n")
+        third = len(context) // 3
+        context = context[:third] + secret + context[third:]
+
+    queries = ["What is the maximum number of tokens per cache page?",
+               "What bit range do quantized layers support?"]
+    queries = [q + "\nAnswer without explanation." for q in queries]
+    answers = ["256", "2 to 8 bits"]
+    stamp("Before Prefill")
+
+    state = engine.prefill(
+        context,
+        load_score=(args.mode == "kvzip_head"),
+        do_score=(args.mode in ("kvzip", "kvzip_head")))
+    stamp(f"KV cache size: {state.mem_gb()} GB. After Prefill")
+
+    if args.mode in ("kvzip", "kvzip_head"):
+        ratio = 0.3 if args.mode == "kvzip" else 0.6
+        engine.prune(state, ratio, "head" if args.mode == "kvzip_head" else "pair")
+        stamp(f"KV cache size: {state.used_gb()} GB (live). After Compression "
+              f"(ratio={ratio})")
+
+    print("-" * 100)
+    for q, a in zip(queries, answers):
+        q_ids = engine.apply_template(q)
+        output = engine.generate(q_ids, state)
+        print(engine.decode(q_ids), output, f"\n(Ground-truth: {a})")
+        n = len(q_ids) + len(engine.encode(output)) + 1
+        stamp("After Generation", denominator=n)
+        print("-" * 100)
+
+
+def cmd_parse(args):
+    from kvzip_tpu.eval.metrics import evaluate_answer
+
+    ratios = set_ratios(args.model, include_full=True)
+    root = "./results"
+    folder_list = sorted(glob.glob(
+        os.path.join(root, f"{args.data}/*_{args.model}/output-{args.level}.json")))
+    print(f"\nEvaluate {args.data} on {len(folder_list)} samples, {args.model}")
+
+    eval_list_ratio = {r: [] for r in ratios}
+    for file in folder_list:
+        with open(file) as f:
+            data = json.load(f)
+        preds = defaultdict(list)
+        answers = []
+        task_names = [k for k in data.keys() if k.startswith(args.task)]
+        for fmt in task_names:
+            text = None
+            for info, text in data[fmt]:
+                preds[info[0]].append(text["pruned"])
+            if text is not None:
+                if len(preds[1.0]) < len(preds[ratios[-1]]):
+                    preds[1.0].append(text["full__"])
+                answers.append(text["answer"])
+        for r in ratios:
+            if preds[r]:
+                perf = evaluate_answer(preds[r], answers, args.data, args.task)
+                eval_list_ratio[r].append(perf)
+
+    print("ratio avg_performance")
+    for r in ratios:
+        vals = eval_list_ratio[r]
+        if vals:
+            score = np.mean([np.mean(v) for v in vals])
+            print(f"{r:.2f}  {score * 100:.2f}")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    {"test": cmd_test, "eval": cmd_eval, "demo": cmd_demo,
+     "parse": cmd_parse}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

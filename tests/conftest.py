@@ -5,6 +5,9 @@ import os
 
 # force-override: the environment may pin JAX_PLATFORMS to a TPU plugin
 os.environ["JAX_PLATFORMS"] = "cpu"
+# fail fast instead of retrying network fetches (loaders fall back offline)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("HF_DATASETS_OFFLINE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
