@@ -138,7 +138,8 @@ class ModelConfig:
             rms_norm_eps=float(d.get("rms_norm_eps", 1e-6)),
             rope=rope,
             rope_local=rope_local,
-            tie_word_embeddings=bool(d.get("tie_word_embeddings", False)),
+            tie_word_embeddings=bool(
+                d.get("tie_word_embeddings", family == "gemma3")),
             attention_bias=bool(d.get("attention_bias", family == "qwen2")),
             qk_norm=family in ("qwen3", "gemma3"),
             max_position_embeddings=int(d.get("max_position_embeddings", 131072)),

@@ -136,7 +136,8 @@ def load_hf_params(cfg: ModelConfig, ckpt_dir: str, dtype=jnp.bfloat16) -> Param
         "layers": layers,
         "final_norm": get("model.norm.weight").astype(dtype),
     }
-    if not cfg.tie_word_embeddings:
+    # some checkpoints (gemma3, small qwen3) omit lm_head when tied
+    if not cfg.tie_word_embeddings and "lm_head.weight" in raw:
         params["lm_head"] = get("lm_head.weight").astype(dtype)
     return params
 
