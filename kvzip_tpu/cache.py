@@ -71,11 +71,74 @@ class KVCache:
         return float(rows * d * self.k.dtype.itemsize * 2)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int4KVCache:
+    """INT4-quantized KV cache: packed nibbles + per-group scale/zero.
+
+    TPU-native counterpart of the reference ``OptimINT4KVCache``
+    (`model/quant_model/int4_kv.py:274-314`), but composable with BOTH the
+    retain and evict paths (the reference forces retain-only,
+    `model/wrapper.py:71-73`) and dequantized tile-wise inside attention
+    instead of whole-cache-to-fp16 (`int4_kv.py:242-267`).
+    """
+
+    k_q: jax.Array          # (L, H_kv, C, D//2) uint8 packed
+    v_q: jax.Array
+    k_s: jax.Array          # (L, H_kv, C, D//G) scales
+    k_z: jax.Array          # (L, H_kv, C, D//G) zero points
+    v_s: jax.Array
+    v_z: jax.Array
+    lengths: jax.Array      # (L, H_kv) int32
+    seen: jax.Array         # () int32
+    valid: jax.Array        # (L, H_kv, C) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.k_q.shape[2]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k_q.shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_q.shape[1]
+
+    def mem_bytes(self) -> int:
+        per = (self.k_q.size * self.k_q.dtype.itemsize
+               + self.k_s.size * self.k_s.dtype.itemsize * 2)
+        return per * 2
+
+    def used_bytes(self) -> float:
+        bytes_per_row = (self.k_q.shape[-1] * self.k_q.dtype.itemsize
+                         + 2 * self.k_s.shape[-1] * self.k_s.dtype.itemsize)
+        rows = int(jax.device_get(self.lengths).sum())
+        return float(rows * bytes_per_row * 2)
+
+
 def init_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     return KVCache(
         k=jnp.zeros((L, H, capacity, D), dtype),
         v=jnp.zeros((L, H, capacity, D), dtype),
+        lengths=jnp.zeros((L, H), jnp.int32),
+        seen=jnp.zeros((), jnp.int32),
+        valid=jnp.ones((L, H, capacity), jnp.bool_),
+    )
+
+
+def init_int4_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16,
+                    group_size: int = 128) -> Int4KVCache:
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    G = max(D // min(group_size, D), 1)
+    return Int4KVCache(
+        k_q=jnp.zeros((L, H, capacity, D // 2), jnp.uint8),
+        v_q=jnp.zeros((L, H, capacity, D // 2), jnp.uint8),
+        k_s=jnp.zeros((L, H, capacity, G), dtype),
+        k_z=jnp.zeros((L, H, capacity, G), dtype),
+        v_s=jnp.zeros((L, H, capacity, G), dtype),
+        v_z=jnp.zeros((L, H, capacity, G), dtype),
         lengths=jnp.zeros((L, H), jnp.int32),
         seen=jnp.zeros((), jnp.int32),
         valid=jnp.ones((L, H, capacity), jnp.bool_),
@@ -99,6 +162,32 @@ def append_layer(k_cache: jax.Array, v_cache: jax.Array, lens: jax.Array,
     k_out = jax.vmap(upd)(k_cache, kT, lens)
     v_out = jax.vmap(upd)(v_cache, vT, lens)
     return k_out, v_out
+
+
+def append_layer_int4(cache_arrays: tuple, lens: jax.Array,
+                      k_new: jax.Array, v_new: jax.Array,
+                      group_size: int = 128) -> tuple:
+    """Quantize-on-append for one layer of the INT4 cache.
+
+    cache_arrays: (k_q, v_q, k_s, k_z, v_s, v_z) each (H, C, ...);
+    k_new/v_new: (T, H, D). Returns updated arrays.
+    """
+    from kvzip_tpu.ops.quant import quantize_int4
+
+    k_q, v_q, k_s, k_z, v_s, v_z = cache_arrays
+    kq, ks, kz = quantize_int4(jnp.swapaxes(k_new, 0, 1), group_size)  # (H,T,..)
+    vq, vs, vz = quantize_int4(jnp.swapaxes(v_new, 0, 1), group_size)
+
+    def upd(cache_h, new_h, len_h):
+        return jax.lax.dynamic_update_slice(cache_h, new_h, (len_h, 0))
+
+    out = []
+    for cache_arr, new in ((k_q, kq), (v_q, vq), (k_s, ks.astype(k_s.dtype)),
+                           (k_z, kz.astype(k_z.dtype)),
+                           (v_s, vs.astype(v_s.dtype)),
+                           (v_z, vz.astype(v_z.dtype))):
+        out.append(jax.vmap(upd)(cache_arr, new, lens))
+    return tuple(out)
 
 
 def snapshot(cache: KVCache) -> dict:
@@ -127,7 +216,7 @@ def compact(cache: KVCache, keep: jax.Array, sink: int, new_capacity: int,
     sliding layers keep everything (reference scores static layers only,
     `kvcache.py:534-562`).
     """
-    L, H, C, D = cache.k.shape
+    L, H, C = cache.valid.shape
     ctx_len = keep.shape[-1]
 
     keep_full = jnp.zeros((L, H, C), jnp.bool_)
@@ -143,22 +232,25 @@ def compact(cache: KVCache, keep: jax.Array, sink: int, new_capacity: int,
     # stable sort: kept rows (key 0) before dropped (key 1), original order
     order = jnp.argsort(~keep_full, axis=-1, stable=True)  # (L, H, C)
     take = order[:, :, :new_capacity]                      # (L, H, C2)
-
-    k_new = jnp.take_along_axis(cache.k, take[..., None], axis=2)
-    v_new = jnp.take_along_axis(cache.v, take[..., None], axis=2)
     new_lens = keep_full.sum(axis=-1).astype(jnp.int32)
 
-    # zero out the tail beyond each head's kept length (hygiene; attention
-    # masks by length so this is not load-bearing)
     col = jax.lax.broadcasted_iota(jnp.int32, (L, H, new_capacity), 2)
     live = col < new_lens[..., None]
-    k_new = jnp.where(live[..., None], k_new, 0)
-    v_new = jnp.where(live[..., None], v_new, 0)
 
-    return KVCache(
-        k=k_new, v=v_new, lengths=new_lens, seen=cache.seen,
-        valid=jnp.ones((L, H, new_capacity), jnp.bool_),
-    )
+    def gather(arr):
+        out = jnp.take_along_axis(arr, take[..., None], axis=2)
+        # zero the tail beyond each head's kept length (hygiene; attention
+        # masks by length so this is not load-bearing)
+        return jnp.where(live[..., None], out, 0)
+
+    common = dict(lengths=new_lens, seen=cache.seen,
+                  valid=jnp.ones((L, H, new_capacity), jnp.bool_))
+    if isinstance(cache, Int4KVCache):
+        return Int4KVCache(
+            k_q=gather(cache.k_q), v_q=gather(cache.v_q),
+            k_s=gather(cache.k_s), k_z=gather(cache.k_z),
+            v_s=gather(cache.v_s), v_z=gather(cache.v_z), **common)
+    return KVCache(k=gather(cache.k), v=gather(cache.v), **common)
 
 
 def set_retain_mask(cache: KVCache, keep: jax.Array, sink: int,

@@ -108,6 +108,8 @@ class Engine:
         decode_budget: int = 768,
         capacity_granularity: int = 512,
         score_chunk_size: int = 2000,
+        kv_quant: str = "none",      # "none" | "int4"
+        weight_quant: str = "none",  # "none" | "w8a8"
         mesh=None,
         seed: int = 0,
     ):
@@ -131,6 +133,11 @@ class Engine:
         if params is None:
             params = params_lib.init_params(
                 self.config, jax.random.PRNGKey(seed), dtype)
+        self.kv_quant = kv_quant
+        self.weight_quant = weight_quant
+        if weight_quant == "w8a8":
+            from kvzip_tpu.ops.quant import quantize_params_w8a8
+            params = quantize_params_w8a8(params)
         self.mesh = mesh
         if mesh is not None:
             from kvzip_tpu.parallel import shard_params
@@ -217,7 +224,11 @@ class Engine:
 
         extra = max(self.score_q_pad, self.decode_budget)
         capacity = _round_up(prefill_len + extra, self.capacity_granularity)
-        cache = init_cache(self.config, capacity, self.dtype)
+        if self.kv_quant == "int4":
+            from kvzip_tpu.cache import init_int4_cache
+            cache = init_int4_cache(self.config, capacity, self.dtype)
+        else:
+            cache = init_cache(self.config, capacity, self.dtype)
         if self.mesh is not None:
             from kvzip_tpu.parallel import shard_cache
             cache = shard_cache(self.mesh, cache)

@@ -10,27 +10,32 @@ QKV bias (qwen2), per-head QK-norm (qwen3/gemma3), gemma3 pre/post norms,
 The KVzip hooks of the reference's monkeypatched attention
 (`attention/attn.py:52-58`) are first-class here: ``scoring`` mode computes
 reconstruction importance scores per layer, and the retain-mask / ragged
-lengths of the cache drive pruned attention.
+lengths of the cache drive pruned attention. Quantized execution is also
+first-class: an ``Int4KVCache`` quantizes on append and dequantizes per tile
+inside attention, and W8A8 layer weights (``{"q": int8, "s": scales}`` dicts)
+run through dynamic-activation int8 MXU matmuls (QServe-style, reference
+`model/quant_model/w8a8kv4_llama.py`).
 """
 
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
 
-from kvzip_tpu.cache import KVCache, append_layer
+from kvzip_tpu.cache import Int4KVCache, KVCache, append_layer, append_layer_int4
 from kvzip_tpu.config import ModelConfig
 from kvzip_tpu.models.rope import apply_rope, rope_cos_sin
 from kvzip_tpu.ops import attention as attn_ops
+from kvzip_tpu.ops.quant import dequantize_int4, int8_linear
 
 
 class ForwardResult(NamedTuple):
     logits: Optional[jax.Array]        # (T, V) or (1, V) or None
-    cache: KVCache
+    cache: Union[KVCache, Int4KVCache]
     chunk_scores: Optional[jax.Array]  # (L, H_kv, score_width) or None
 
 
@@ -56,6 +61,16 @@ def _head_norm(x: jax.Array, w: jax.Array, eps: float, gemma: bool) -> jax.Array
     return rms_norm(x, w, eps, gemma=gemma)
 
 
+def _lin(x: jax.Array, w, bias=None) -> jax.Array:
+    """Linear that dispatches on weight type: plain matmul or W8A8 int8."""
+    if isinstance(w, dict):
+        return int8_linear(x, w["q"], w["s"], bias)
+    y = x @ w
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -66,7 +81,7 @@ def forward(
     params,
     cfg: ModelConfig,
     ids: jax.Array,            # (T,) int32
-    cache: KVCache,
+    cache: Union[KVCache, Int4KVCache],
     *,
     collect_logits: str = "none",   # "none" | "last" | "all"
     scoring: bool = False,
@@ -75,10 +90,12 @@ def forward(
     score_qlen: Optional[jax.Array] = None,   # () int32 true #repeat queries
     score_width: int = 0,                      # static padded window width
     sink: int = 0,                             # static sink length (sys prompt)
-    attn_impl: str = "dense",                  # "dense" | "blockwise" | "pallas"
+    attn_impl: str = "dense",                  # "dense"|"blockwise"|"flash"|...
 ) -> ForwardResult:
     T = ids.shape[0]
-    L, Hkv, C, Dh = cache.k.shape
+    is_int4 = isinstance(cache, Int4KVCache)
+    L, Hkv, C = cache.valid.shape
+    Dh = cfg.head_dim
     H = cfg.num_heads
     scale = cfg.query_scale if cfg.query_scale is not None else Dh ** -0.5
     dtype = params["embed"].dtype
@@ -104,22 +121,23 @@ def forward(
         windows = None
 
     lp = params["layers"]
-    base_lens_all = cache.lengths             # (L, Hkv)
     q_pos0 = cache.seen
 
+    if is_int4:
+        cache_arrays = (cache.k_q, cache.v_q, cache.k_s, cache.k_z,
+                        cache.v_s, cache.v_z)
+    else:
+        cache_arrays = (cache.k, cache.v)
+
     def layer_fn(carry, xs):
-        x, k_all, v_all = carry
+        x, *store = carry
         (layer_params, layer_idx, is_static, base_lens, valid_l) = xs
 
         h = rms_norm(x, layer_params["ln_attn"], cfg.rms_norm_eps,
                      gemma=cfg.gemma_style_norm)
-        q = h @ layer_params["wq"]
-        k = h @ layer_params["wk"]
-        v = h @ layer_params["wv"]
-        if cfg.attention_bias:
-            q = q + layer_params["bq"]
-            k = k + layer_params["bk"]
-            v = v + layer_params["bv"]
+        q = _lin(h, layer_params["wq"], layer_params.get("bq"))
+        k = _lin(h, layer_params["wk"], layer_params.get("bk"))
+        v = _lin(h, layer_params["wv"], layer_params.get("bv"))
         q = q.reshape(T, H, Dh)
         k = k.reshape(T, Hkv, Dh)
         v = v.reshape(T, Hkv, Dh)
@@ -138,19 +156,42 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         # -- cache append (O(T), in-place on donated buffers) --
-        k_cache = k_all[layer_idx]
-        v_cache = v_all[layer_idx]
-        k_cache, v_cache = append_layer(k_cache, v_cache, base_lens, k, v)
-        k_all = k_all.at[layer_idx].set(k_cache)
-        v_all = v_all.at[layer_idx].set(v_cache)
+        layer_store = tuple(a[layer_idx] for a in store)
+        if is_int4:
+            layer_store = append_layer_int4(layer_store, base_lens, k, v)
+        else:
+            layer_store = append_layer(layer_store[0], layer_store[1],
+                                       base_lens, k, v)
+        store = [a.at[layer_idx].set(s) for a, s in zip(store, layer_store)]
 
         # -- KVzip reconstruction scoring hook (attn.py:53-54) --
         if scoring:
-            k_sink = k_cache[:, :sink]
-            k_ctx = jax.lax.dynamic_slice(
-                k_cache, (0, score_start, 0), (Hkv, score_width, Dh))
+            if is_int4:
+                kq_l, _, ks_l, kz_l = layer_store[0], None, layer_store[2], layer_store[3]
+                k_sink = dequantize_int4(kq_l[:, :sink], ks_l[:, :sink],
+                                         kz_l[:, :sink], dtype)
+                G4 = ks_l.shape[-1]
+                k_ctx = dequantize_int4(
+                    jax.lax.dynamic_slice(kq_l, (0, score_start, 0),
+                                          (Hkv, score_width, Dh // 2)),
+                    jax.lax.dynamic_slice(ks_l, (0, score_start, 0),
+                                          (Hkv, score_width, G4)),
+                    jax.lax.dynamic_slice(kz_l, (0, score_start, 0),
+                                          (Hkv, score_width, G4)), dtype)
+                # repeat-window keys go through the same quantization the
+                # cache stores (reference scores on dequantized keys,
+                # quant attn.py:55-57)
+                from kvzip_tpu.ops.quant import quantize_int4
+                kq_r, ks_r, kz_r = quantize_int4(k)
+                k_rep = dequantize_int4(kq_r, ks_r, kz_r, dtype)
+            else:
+                k_cache = layer_store[0]
+                k_sink = k_cache[:, :sink]
+                k_ctx = jax.lax.dynamic_slice(
+                    k_cache, (0, score_start, 0), (Hkv, score_width, Dh))
+                k_rep = k
             layer_score = attn_ops.reconstruction_scores(
-                q, k_sink, k_ctx, k, score_len, scale=scale,
+                q, k_sink, k_ctx, k_rep, score_len, scale=scale,
                 q_valid=score_qlen, out_dtype=dtype)
         else:
             layer_score = jnp.zeros((Hkv, 0), dtype)
@@ -159,23 +200,28 @@ def forward(
         win = None
         if windows is not None:
             win = windows[layer_idx]
-        if attn_impl in ("flash", "flash_interpret"):
+        if is_int4:
+            kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
+            attn_out = attn_ops.attend_blockwise_int4(
+                q, kq_a, ks_a, kz_a, vq_a, vs_a, vz_a, base_lens, valid_l,
+                scale=scale, q_pos0=q_pos0, window=win)
+        elif attn_impl in ("flash", "flash_interpret"):
             # Pallas kernel: streams only live KV (no valid-mask support —
             # the engine routes pruned-retain decode elsewhere)
             from kvzip_tpu.ops.flash import flash_attend
             attn_out = flash_attend(
-                q, k_cache, v_cache, base_lens, q_pos0, scale=scale,
-                interpret=(attn_impl == "flash_interpret"))
+                q, layer_store[0], layer_store[1], base_lens, q_pos0,
+                scale=scale, interpret=(attn_impl == "flash_interpret"))
         elif attn_impl == "blockwise":
             attn_out = attn_ops.attend_blockwise(
-                q, k_cache, v_cache, base_lens, valid_l, scale=scale,
-                q_pos0=q_pos0, window=win)
+                q, layer_store[0], layer_store[1], base_lens, valid_l,
+                scale=scale, q_pos0=q_pos0, window=win)
         else:
             attn_out = attn_ops.attend_dense(
-                q, k_cache, v_cache, base_lens, valid_l, scale=scale,
-                q_pos0=q_pos0, window=win)
+                q, layer_store[0], layer_store[1], base_lens, valid_l,
+                scale=scale, q_pos0=q_pos0, window=win)
 
-        attn_out = attn_out.reshape(T, H * Dh) @ layer_params["wo"]
+        attn_out = _lin(attn_out.reshape(T, H * Dh), layer_params["wo"])
         if cfg.post_norms:
             attn_out = rms_norm(attn_out, layer_params["ln_post_attn"],
                                 cfg.rms_norm_eps, gemma=cfg.gemma_style_norm)
@@ -183,24 +229,30 @@ def forward(
 
         h2 = rms_norm(x, layer_params["ln_mlp"], cfg.rms_norm_eps,
                       gemma=cfg.gemma_style_norm)
-        mlp = (_act(h2 @ layer_params["w_gate"], cfg.hidden_act)
-               * (h2 @ layer_params["w_up"])) @ layer_params["w_down"]
+        mlp = _lin(_act(_lin(h2, layer_params["w_gate"]), cfg.hidden_act)
+                   * _lin(h2, layer_params["w_up"]), layer_params["w_down"])
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer_params["ln_post_mlp"], cfg.rms_norm_eps,
                            gemma=cfg.gemma_style_norm)
         x = x + mlp
 
-        return (x, k_all, v_all), layer_score
+        return (x, *store), layer_score
 
     xs = (lp, jnp.arange(L, dtype=jnp.int32), is_static_layers,
-          base_lens_all, cache.valid)
-    (x, k_all, v_all), scores = jax.lax.scan(
-        layer_fn, (x, cache.k, cache.v), xs)
+          cache.lengths, cache.valid)
+    (x, *cache_arrays), scores = jax.lax.scan(
+        layer_fn, (x, *cache_arrays), xs)
 
-    new_cache = dataclasses.replace(
-        cache, k=k_all, v=v_all,
-        lengths=cache.lengths + jnp.int32(T),
-        seen=cache.seen + jnp.int32(T))
+    common = dict(lengths=cache.lengths + jnp.int32(T),
+                  seen=cache.seen + jnp.int32(T))
+    if is_int4:
+        new_cache = dataclasses.replace(
+            cache, k_q=cache_arrays[0], v_q=cache_arrays[1],
+            k_s=cache_arrays[2], k_z=cache_arrays[3],
+            v_s=cache_arrays[4], v_z=cache_arrays[5], **common)
+    else:
+        new_cache = dataclasses.replace(
+            cache, k=cache_arrays[0], v=cache_arrays[1], **common)
 
     logits = None
     if collect_logits != "none":

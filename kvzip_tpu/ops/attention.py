@@ -134,6 +134,78 @@ def attend_blockwise(
     return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(q.dtype)
 
 
+def attend_blockwise_int4(
+    q: jax.Array,                    # (T, H, D)
+    kq: jax.Array, ks: jax.Array, kz: jax.Array,   # packed K + scales/zeros
+    vq: jax.Array, vs: jax.Array, vz: jax.Array,   # packed V + scales/zeros
+    base_lens: jax.Array,
+    valid: Optional[jax.Array],
+    *,
+    scale: float,
+    q_pos0: Optional[jax.Array] = None,
+    window: Optional[int] = None,
+    kv_block: int = 512,
+) -> jax.Array:
+    """Online-softmax attention over the INT4 cache, dequantizing per block.
+
+    HBM reads stay at the int4 footprint; only one (kv_block, D) tile is ever
+    dequantized at a time (contrast reference `int4_kv.py:242-267` which
+    dequantizes the WHOLE cache to fp16 before every attention call).
+    """
+    from kvzip_tpu.ops.quant import dequantize_int4
+
+    T, H, D = q.shape
+    Hkv, C = kq.shape[0], kq.shape[1]
+    G = H // Hkv
+    kv_block = min(kv_block, C)
+    while C % kv_block:
+        kv_block //= 2
+    nblocks = C // kv_block
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3).astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T, kv_block), 1)
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (Hkv, T, kv_block), 2)
+
+    def reshape_blocks(a):
+        return jnp.swapaxes(a.reshape(Hkv, nblocks, kv_block, *a.shape[2:]), 0, 1)
+
+    xs = tuple(reshape_blocks(a) for a in (kq, ks, kz, vq, vs, vz))
+    validb = None if valid is None else jnp.swapaxes(
+        valid.reshape(Hkv, nblocks, kv_block), 0, 1)
+
+    def body(carry, inp):
+        m, l, acc = carry
+        (kq_b, ks_b, kz_b, vq_b, vs_b, vz_b), vmask_b, blk_idx = inp
+        k_blk = dequantize_int4(kq_b, ks_b, kz_b, jnp.float32)
+        v_blk = dequantize_int4(vq_b, vs_b, vz_b, jnp.float32)
+
+        col = col_local + blk_idx * kv_block
+        mask = col < (base_lens[:, None, None] + row + 1)
+        if vmask_b is not None:
+            mask = mask & vmask_b[:, None, :]
+        if window is not None and q_pos0 is not None:
+            mask = mask & (col > (q_pos0 + row) - window)
+
+        s = jnp.einsum("hgtd,hcd->hgtc", qg, k_blk) * scale
+        s = jnp.where(mask[:, None, :, :], s, NEG_INF)
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum("hgtc,hcd->hgtd", p, v_blk)
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((Hkv, G, T, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hkv, G, T, 1), jnp.float32)
+    acc0 = jnp.zeros((Hkv, G, T, D), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        body, (m0, l0, acc0), (xs, validb, jnp.arange(nblocks)))
+
+    out = acc / jnp.maximum(l, 1e-37)
+    return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(q.dtype)
+
+
 def reconstruction_scores(
     q: jax.Array,          # (T, H, D) — queries of the repeat pass (post-rope)
     k_sink: jax.Array,     # (H_kv, S_sink, D) — sink keys (system prompt)

@@ -1,0 +1,100 @@
+"""Quantization ops: INT4 KV (group-wise asymmetric) + W8A8 linears.
+
+Parity targets:
+- INT4 KV semantics of reference `model/quant_model/quantize_int4.cu:73-144`:
+  per group of 128 contiguous head-dim elements, ``scale=(max-min)/15+1e-8``,
+  ``zero=min``, ``q=clamp(round((x-zero)/scale),0,15)``, two nibbles per byte
+  (even element in the high nibble).
+- W8A8 semantics of QServe-style `model/quant_model/w8a8kv4_llama.py`:
+  per-output-channel int8 weights + dynamic per-token int8 activations, int8
+  MXU matmul with int32 accumulation.
+
+Unlike the reference (which dequantizes the whole KV cache to fp16 before
+attention, `int4_kv.py:242-267`), the attention kernels here dequantize
+tiles in-register — HBM traffic stays at the int4 footprint.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INT4_GROUP = 128
+EPS = 1e-8
+
+
+def quantize_int4(x: jax.Array, group_size: int = INT4_GROUP
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """x: (..., D) -> packed (..., D//2) uint8, scale/zero (..., D//g)."""
+    *lead, D = x.shape
+    g = min(group_size, D)
+    xg = x.reshape(*lead, D // g, g).astype(jnp.float32)
+    mn = xg.min(axis=-1)
+    mx = xg.max(axis=-1)
+    scale = (mx - mn) / 15.0 + EPS
+    zero = mn
+    q = jnp.clip(jnp.round((xg - zero[..., None]) / scale[..., None]), 0, 15)
+    q = q.astype(jnp.uint8).reshape(*lead, D)
+    packed = (q[..., 0::2] << 4) | q[..., 1::2]
+    return packed, scale.astype(x.dtype), zero.astype(x.dtype)
+
+
+def dequantize_int4(packed: jax.Array, scale: jax.Array, zero: jax.Array,
+                    out_dtype=jnp.bfloat16) -> jax.Array:
+    """packed (..., D//2) + scale/zero (..., D//g) -> (..., D)."""
+    hi = (packed >> 4).astype(jnp.int32)
+    lo = (packed & 0xF).astype(jnp.int32)
+    q = jnp.stack([hi, lo], axis=-1).reshape(*packed.shape[:-1],
+                                             packed.shape[-1] * 2)
+    D = q.shape[-1]
+    g = D // scale.shape[-1]
+    qg = q.reshape(*packed.shape[:-1], D // g, g)
+    x = qg.astype(jnp.float32) * scale[..., None].astype(jnp.float32) \
+        + zero[..., None].astype(jnp.float32)
+    return x.reshape(*packed.shape[:-1], D).astype(out_dtype)
+
+
+# ------------------------------------------------------------------- W8A8
+def quantize_weight_int8(w: jax.Array) -> dict:
+    """w (..., in, out) -> {"q": int8, "s": f32 (..., out)} per-channel."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)
+    s = amax / 127.0 + EPS
+    q = jnp.clip(jnp.round(wf / s[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s.astype(jnp.float32)}
+
+
+def int8_linear(x: jax.Array, wq: jax.Array, ws: jax.Array,
+                bias=None) -> jax.Array:
+    """Dynamic per-token activation quant + int8 MXU matmul.
+
+    x (T, in) any float dtype; wq (in, out) int8; ws (out,) f32.
+    """
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + EPS
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * xs * ws[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def quantize_params_w8a8(params: dict) -> dict:
+    """Quantize every projection weight to W8 per-channel (QServe-style).
+
+    Embedding / lm_head / norms / biases stay high-precision (the reference
+    keeps them fp16, `w8a8kv4_llama.py`). Stacked (L, in, out) layer weights
+    become {"q": int8, "s": (L, out)} dicts handled by the forward's
+    ``_lin`` dispatch.
+    """
+    out = dict(params)
+    lp = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        if name in lp and not isinstance(lp[name], dict):
+            lp[name] = quantize_weight_int8(lp[name])
+    out["layers"] = lp
+    return out
