@@ -190,9 +190,21 @@ def forward(
                 k_ctx = jax.lax.dynamic_slice(
                     k_cache, (0, score_start, 0), (Hkv, score_width, Dh))
                 k_rep = k
-            layer_score = attn_ops.reconstruction_scores(
-                q, k_sink, k_ctx, k_rep, score_len, scale=scale,
-                q_valid=score_qlen, out_dtype=dtype)
+            if attn_impl in ("flash", "flash_interpret"):
+                # fused Pallas kernel: never materializes the (G, T, K)
+                # probability tensor in HBM
+                from kvzip_tpu.ops.score_kernel import fused_scores
+                keys = jnp.concatenate(
+                    [k_sink, k_ctx, jnp.swapaxes(k_rep, 0, 1)], axis=1)
+                layer_score = fused_scores(
+                    q, keys, score_len, score_qlen, sink=sink,
+                    s_ctx=score_width, scale=scale,
+                    interpret=(attn_impl == "flash_interpret"),
+                    model_dtype=dtype).astype(dtype)
+            else:
+                layer_score = attn_ops.reconstruction_scores(
+                    q, k_sink, k_ctx, k_rep, score_len, scale=scale,
+                    q_valid=score_qlen, out_dtype=dtype)
         else:
             layer_score = jnp.zeros((Hkv, 0), dtype)
 
