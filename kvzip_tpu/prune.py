@@ -77,7 +77,10 @@ def prune_mask(score: jax.Array, ratio: float, level: str = "pair",
         valid, thres = threshold_uniform(score, ratio, static_layers)
     else:
         valid, thres = threshold_global(score, ratio, static_layers)
-    true_ratio = int(jax.device_get(valid.sum())) / valid.size
+    # parity: the reference reports the ratio over the scored (static) layers
+    # only — its valid tensor never includes sliding layers
+    pool = valid[jnp.asarray(static_layers)] if static_layers is not None else valid
+    true_ratio = int(jax.device_get(pool.sum())) / pool.size
     return valid, thres, true_ratio
 
 
