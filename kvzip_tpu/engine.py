@@ -131,8 +131,15 @@ class Engine:
         self.score_q_pad = self.score_width + 256
 
         if params is None:
-            params = params_lib.init_params(
-                self.config, jax.random.PRNGKey(seed), dtype)
+            import glob as _glob
+            import os as _os
+            if _os.path.isdir(model_name) and _glob.glob(
+                    _os.path.join(model_name, "*.safetensors")):
+                params = params_lib.load_hf_params(self.config, model_name,
+                                                   dtype)
+            else:
+                params = params_lib.init_params(
+                    self.config, jax.random.PRNGKey(seed), dtype)
         self.kv_quant = kv_quant
         self.weight_quant = weight_quant
         if weight_quant == "w8a8":
