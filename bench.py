@@ -32,8 +32,7 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
         f"{cfg.num_kv_heads} D={cfg.hidden_size} ctx={ctx_tokens}")
 
     eng = Engine(model_name, kv_type="evict", config=cfg, dtype=jnp.bfloat16,
-                 max_new_tokens=decode_tokens, decode_budget=decode_tokens + 256,
-                 attn_impl="blockwise")
+                 max_new_tokens=decode_tokens, decode_budget=decode_tokens + 256)
     # benchmark decodes a fixed token count: disable EOS stopping
     eng.eos_ids = (-1,)
 

@@ -117,6 +117,97 @@ class Int4KVCache:
         return float(rows * bytes_per_row * 2)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlatKV:
+    """Flat compacted decode cache: frozen context + small append tail.
+
+    Built once at prune time for the evict path. ``k_flat/v_flat`` hold every
+    head's kept rows densely concatenated (head-major, original order) so
+    decode attention reads exactly the live footprint; ``row_head`` maps each
+    flat row to its kv head (-1 on padding). Query/answer KV lands in the
+    per-head ``k_tail/v_tail`` buffer and is dropped by resetting
+    ``tail_len`` (the reference's ``slice``, `attention/kvcache.py:82-106`,
+    without any gather).
+    """
+
+    k_flat: jax.Array    # (L, R_pad, D)
+    v_flat: jax.Array
+    row_head: jax.Array  # (L, R_pad) int32
+    k_tail: jax.Array    # (L, H_kv, T_cap, D)
+    v_tail: jax.Array
+    lengths: jax.Array   # (L, H_kv) int32 — frozen kept context rows
+    tail_len: jax.Array  # () int32
+    seen: jax.Array      # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.k_flat.shape[1]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k_flat.shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_tail.shape[1]
+
+    def mem_bytes(self) -> int:
+        per = (self.k_flat.size + self.k_tail.size) * self.k_flat.dtype.itemsize
+        return per * 2
+
+    def used_bytes(self) -> float:
+        d = self.k_flat.shape[-1]
+        rows = int(jax.device_get(self.lengths).sum())
+        return float(rows * d * self.k_flat.dtype.itemsize * 2)
+
+
+def build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
+               tail_cap: int,
+               static_mask=None) -> FlatKV:
+    """Compact a dense cache into the flat decode layout.
+
+    keep: (L, H, ctx_len) bool over the context region. r_pad: static padded
+    flat row count (>= max over layers of kept rows, multiple of the kernel
+    block). One stable argsort + gather per layer — the TPU equivalent of
+    reference ``prepare_init`` (`attention/kvcache.py:152-185`).
+    """
+    L, H, C, D = cache.k.shape
+    ctx_len = keep.shape[-1]
+
+    keep_full = jnp.zeros((L, H, C), jnp.bool_)
+    keep_full = keep_full.at[:, :, :sink].set(True)
+    keep_full = jax.lax.dynamic_update_slice(
+        keep_full, keep.astype(jnp.bool_), (0, 0, sink))
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, H, C), 2)
+    keep_full &= col < sink + ctx_len
+    if static_mask is not None:
+        keep_full = jnp.where(static_mask[:, None, None], keep_full,
+                              col < sink + ctx_len)
+
+    flat_keep = keep_full.reshape(L, H * C)
+    order = jnp.argsort(~flat_keep, axis=-1, stable=True)  # kept first,
+    take = order[:, :r_pad]                                # head-major order
+
+    kept_flags = jnp.take_along_axis(flat_keep, take, axis=1)
+    k_flat = jnp.take_along_axis(cache.k.reshape(L, H * C, D),
+                                 take[..., None], axis=1)
+    v_flat = jnp.take_along_axis(cache.v.reshape(L, H * C, D),
+                                 take[..., None], axis=1)
+    k_flat = jnp.where(kept_flags[..., None], k_flat, 0)
+    v_flat = jnp.where(kept_flags[..., None], v_flat, 0)
+    row_head = jnp.where(kept_flags, (take // C).astype(jnp.int32), -1)
+
+    return FlatKV(
+        k_flat=k_flat, v_flat=v_flat, row_head=row_head,
+        k_tail=jnp.zeros((L, H, tail_cap, D), cache.k.dtype),
+        v_tail=jnp.zeros((L, H, tail_cap, D), cache.k.dtype),
+        lengths=keep_full.sum(axis=-1).astype(jnp.int32),
+        tail_len=jnp.zeros((), jnp.int32),
+        seen=cache.seen,
+    )
+
+
 def init_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     return KVCache(
@@ -190,14 +281,18 @@ def append_layer_int4(cache_arrays: tuple, lens: jax.Array,
     return tuple(out)
 
 
-def snapshot(cache: KVCache) -> dict:
-    """Host-side snapshot of restore state (cheap: two small arrays)."""
-    return {"lengths": cache.lengths, "seen": cache.seen}
+_RESTORE_FIELDS = ("lengths", "seen", "tail_len")
 
 
-def restore(cache: KVCache, snap: dict) -> KVCache:
+def snapshot(cache) -> dict:
+    """Host-side snapshot of restore state (cheap: tiny counter arrays)."""
+    return {f: getattr(cache, f) for f in _RESTORE_FIELDS
+            if hasattr(cache, f)}
+
+
+def restore(cache, snap: dict):
     """Reference ``slice(seen_token_prev)`` equivalent — O(1) counter reset."""
-    return dataclasses.replace(cache, lengths=snap["lengths"], seen=snap["seen"])
+    return dataclasses.replace(cache, **snap)
 
 
 def compact(cache: KVCache, keep: jax.Array, sink: int, new_capacity: int,

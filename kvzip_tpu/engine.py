@@ -62,17 +62,18 @@ class KVState:
     prefill_ids: Optional[np.ndarray] = None
     ctx_ids: Optional[np.ndarray] = None
     pruned: bool = False
-    _snap_lengths: Optional[np.ndarray] = None
-    _snap_seen: int = 0
+    _snap: Optional[dict] = None
 
     def snapshot(self):
-        self._snap_lengths = np.asarray(jax.device_get(self.cache.lengths))
-        self._snap_seen = int(jax.device_get(self.cache.seen))
+        from kvzip_tpu.cache import snapshot as cache_snapshot
+
+        self._snap = {k: np.asarray(jax.device_get(v))
+                      for k, v in cache_snapshot(self.cache).items()}
 
     def restore_snapshot(self):
-        self.cache = restore(self.cache, {
-            "lengths": jnp.asarray(self._snap_lengths),
-            "seen": jnp.asarray(self._snap_seen, jnp.int32)})
+        self.cache = restore(
+            self.cache,
+            {k: jnp.asarray(v, jnp.int32) for k, v in self._snap.items()})
 
     def mem_gb(self) -> float:
         return round(self.cache.mem_bytes() / 1e9, 3)
@@ -110,6 +111,7 @@ class Engine:
         score_chunk_size: int = 2000,
         kv_quant: str = "none",      # "none" | "int4"
         weight_quant: str = "none",  # "none" | "w8a8"
+        flat_decode: str = "auto",   # "auto" | "on" | "off"
         mesh=None,
         seed: int = 0,
     ):
@@ -142,6 +144,7 @@ class Engine:
                     self.config, jax.random.PRNGKey(seed), dtype)
         self.kv_quant = kv_quant
         self.weight_quant = weight_quant
+        self.flat_decode = flat_decode
         if weight_quant == "w8a8":
             from kvzip_tpu.ops.quant import quantize_params_w8a8
             params = quantize_params_w8a8(params)
@@ -175,7 +178,22 @@ class Engine:
         return np.concatenate([self.encode(q), self.postfix_ids])
 
     # --------------------------------------------------------------- forward
+    def _use_flat(self, state: "KVState") -> bool:
+        """Build the flat decode cache at prune time? (evict path, bf16 KV,
+        128-aligned head_dim; CPU only when explicitly interpreted)."""
+        if self.flat_decode == "off" or self.kv_quant != "none":
+            return False
+        if self.flat_decode == "on":
+            return True
+        return (self.mesh is None and self.config.head_dim % 128 == 0
+                and jax.default_backend() != "cpu")
+
     def _impl(self, state: "KVState") -> str:
+        from kvzip_tpu.cache import FlatKV
+
+        if isinstance(state.cache, FlatKV):
+            return ("flash" if jax.default_backend() != "cpu"
+                    else "flash_interpret")
         # Pallas flash whenever the shape allows (no retain-mask needed,
         # 128-aligned head_dim, TPU backend); else XLA blockwise/dense.
         if self.attn_impl != "auto":
@@ -192,10 +210,15 @@ class Engine:
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
                         collect: str = "none") -> Optional[np.ndarray]:
         """Run ids through the model on the chunk ladder; maybe return logits."""
+        from kvzip_tpu.cache import FlatKV
+
         impl = self._impl(state)
+        ladder = CHUNK_LADDER
+        if isinstance(state.cache, FlatKV):
+            ladder = (64, 16, 4, 1)  # flat kernel keeps q rows in VMEM
         logits_parts = []
         pos = 0
-        for size in ladder_split(len(ids)):
+        for size in ladder_split(len(ids), ladder):
             chunk = jnp.asarray(ids[pos:pos + size])
             pos += size
             want = collect if collect == "all" else (
@@ -349,11 +372,22 @@ class Engine:
             state.cache = set_retain_mask(state.cache, keep, state.sink,
                                           static_mask)
         elif state.kv_type == "evict":
-            kept_rows = int(jax.device_get(
-                keep.sum(axis=-1).max())) + state.sink
-            new_cap = _round_up(kept_rows + self.decode_budget,
-                                self.capacity_granularity)
-            state.cache = compact(state.cache, keep, state.sink, new_cap)
+            if self._use_flat(state):
+                # flat decode layout: HBM reads = true compressed footprint
+                from kvzip_tpu.cache import build_flat
+
+                per_layer = np.asarray(jax.device_get(keep.sum(axis=(1, 2))))
+                r_pad = _round_up(
+                    int(per_layer.max())
+                    + state.sink * self.config.num_kv_heads, 2048)
+                state.cache = build_flat(state.cache, keep, state.sink,
+                                         r_pad, self.decode_budget)
+            else:
+                kept_rows = int(jax.device_get(
+                    keep.sum(axis=-1).max())) + state.sink
+                new_cap = _round_up(kept_rows + self.decode_budget,
+                                    self.capacity_granularity)
+                state.cache = compact(state.cache, keep, state.sink, new_cap)
         else:
             raise NotImplementedError(state.kv_type)
 

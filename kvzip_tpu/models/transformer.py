@@ -26,7 +26,7 @@ from typing import NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from kvzip_tpu.cache import Int4KVCache, KVCache, append_layer, append_layer_int4
+from kvzip_tpu.cache import FlatKV, Int4KVCache, KVCache, append_layer, append_layer_int4
 from kvzip_tpu.config import ModelConfig
 from kvzip_tpu.models.rope import apply_rope, rope_cos_sin
 from kvzip_tpu.ops import attention as attn_ops
@@ -94,7 +94,8 @@ def forward(
 ) -> ForwardResult:
     T = ids.shape[0]
     is_int4 = isinstance(cache, Int4KVCache)
-    L, Hkv, C = cache.valid.shape
+    is_flat = isinstance(cache, FlatKV)
+    L, Hkv = cfg.num_layers, cfg.num_kv_heads
     Dh = cfg.head_dim
     H = cfg.num_heads
     scale = cfg.query_scale if cfg.query_scale is not None else Dh ** -0.5
@@ -122,10 +123,18 @@ def forward(
 
     lp = params["layers"]
     q_pos0 = cache.seen
+    tail_len0 = cache.tail_len if is_flat else None
+    if is_flat:
+        flat_k_all, flat_v_all = cache.k_flat, cache.v_flat
+        flat_rh_all = cache.row_head
+        if scoring:
+            raise ValueError("scoring runs pre-prune; FlatKV is decode-only")
 
     if is_int4:
         cache_arrays = (cache.k_q, cache.v_q, cache.k_s, cache.k_z,
                         cache.v_s, cache.v_z)
+    elif is_flat:
+        cache_arrays = (cache.k_tail, cache.v_tail)
     else:
         cache_arrays = (cache.k, cache.v)
 
@@ -159,6 +168,13 @@ def forward(
         layer_store = tuple(a[layer_idx] for a in store)
         if is_int4:
             layer_store = append_layer_int4(layer_store, base_lens, k, v)
+        elif is_flat:
+            # uniform tail append at tail_len (all heads advance together)
+            kt = jax.lax.dynamic_update_slice(
+                layer_store[0], jnp.swapaxes(k, 0, 1), (0, tail_len0, 0))
+            vt = jax.lax.dynamic_update_slice(
+                layer_store[1], jnp.swapaxes(v, 0, 1), (0, tail_len0, 0))
+            layer_store = (kt, vt)
         else:
             layer_store = append_layer(layer_store[0], layer_store[1],
                                        base_lens, k, v)
@@ -212,18 +228,33 @@ def forward(
         win = None
         if windows is not None:
             win = windows[layer_idx]
-        if is_int4:
+        if is_flat:
+            from kvzip_tpu.ops.flat_decode import flat_decode_attend
+            attn_out = flat_decode_attend(
+                q, flat_k_all[layer_idx], flat_v_all[layer_idx],
+                flat_rh_all[layer_idx], layer_store[0], layer_store[1],
+                tail_len0, scale=scale,
+                interpret=(attn_impl == "flash_interpret"))
+        elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
             attn_out = attn_ops.attend_blockwise_int4(
                 q, kq_a, ks_a, kz_a, vq_a, vs_a, vz_a, base_lens, valid_l,
                 scale=scale, q_pos0=q_pos0, window=win)
         elif attn_impl in ("flash", "flash_interpret"):
-            # Pallas kernel: streams only live KV (no valid-mask support —
-            # the engine routes pruned-retain decode elsewhere)
-            from kvzip_tpu.ops.flash import flash_attend
-            attn_out = flash_attend(
-                q, layer_store[0], layer_store[1], base_lens, q_pos0,
-                scale=scale, interpret=(attn_impl == "flash_interpret"))
+            # Pallas kernels: stream only live KV (no valid-mask support —
+            # the engine routes pruned-retain decode elsewhere). Small query
+            # counts (decode steps) take the ragged per-head-length kernel.
+            interp = attn_impl == "flash_interpret"
+            if T <= 8:
+                from kvzip_tpu.ops.ragged_decode import ragged_decode_attend
+                attn_out = ragged_decode_attend(
+                    q, layer_store[0], layer_store[1], base_lens,
+                    scale=scale, interpret=interp)
+            else:
+                from kvzip_tpu.ops.flash import flash_attend
+                attn_out = flash_attend(
+                    q, layer_store[0], layer_store[1], base_lens, q_pos0,
+                    scale=scale, interpret=interp)
         elif attn_impl == "blockwise":
             attn_out = attn_ops.attend_blockwise(
                 q, layer_store[0], layer_store[1], base_lens, valid_l,
@@ -250,21 +281,30 @@ def forward(
 
         return (x, *store), layer_score
 
+    valid_xs = (cache.valid if hasattr(cache, "valid")
+                else jnp.ones((L, 1, 1), jnp.bool_))
     xs = (lp, jnp.arange(L, dtype=jnp.int32), is_static_layers,
-          cache.lengths, cache.valid)
+          cache.lengths, valid_xs)
     (x, *cache_arrays), scores = jax.lax.scan(
         layer_fn, (x, *cache_arrays), xs)
 
-    common = dict(lengths=cache.lengths + jnp.int32(T),
-                  seen=cache.seen + jnp.int32(T))
-    if is_int4:
+    if is_flat:
+        new_cache = dataclasses.replace(
+            cache, k_tail=cache_arrays[0], v_tail=cache_arrays[1],
+            tail_len=cache.tail_len + jnp.int32(T),
+            seen=cache.seen + jnp.int32(T))
+    elif is_int4:
         new_cache = dataclasses.replace(
             cache, k_q=cache_arrays[0], v_q=cache_arrays[1],
             k_s=cache_arrays[2], k_z=cache_arrays[3],
-            v_s=cache_arrays[4], v_z=cache_arrays[5], **common)
+            v_s=cache_arrays[4], v_z=cache_arrays[5],
+            lengths=cache.lengths + jnp.int32(T),
+            seen=cache.seen + jnp.int32(T))
     else:
         new_cache = dataclasses.replace(
-            cache, k=cache_arrays[0], v=cache_arrays[1], **common)
+            cache, k=cache_arrays[0], v=cache_arrays[1],
+            lengths=cache.lengths + jnp.int32(T),
+            seen=cache.seen + jnp.int32(T))
 
     logits = None
     if collect_logits != "none":

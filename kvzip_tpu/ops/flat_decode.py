@@ -1,0 +1,156 @@
+"""Pallas decode attention over the flat compacted cache.
+
+After KVzip eviction the context KV is FROZEN (only query/answer KV is ever
+appended, and it is dropped again after each generation —
+`model/wrapper.py:276-284`). That makes a two-part layout optimal on TPU:
+
+- ``k_flat/v_flat (R_pad, D)``: every head's kept rows concatenated densely
+  (reference ``prepare_init`` builds the same flattened view for varlen
+  flash-attn, `attention/kvcache.py:152-185`) with a per-row ``row_head`` id;
+  pad rows carry head id -1 and can never match a query.
+- ``k_tail/v_tail (H_kv, T_cap, D)``: a small static append buffer for the
+  query + generated tokens; O(1) snapshot/restore by resetting its length.
+
+Decode attention then reads exactly ``sum_h len_h`` rows (the true compressed
+footprint — not the per-head-padded capacity), with a tiny grid and trivial
+index maps: the kernel streams flat blocks, masks rows by head-id match, and
+folds the whole tail in at the last grid step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
+                 o_ref, m_scr, l_scr, acc_scr,
+                 *, block: int, n_q: int, g: int, scale: float, dtype):
+    kb = pl.program_id(0)
+    nb = pl.num_programs(0)
+    HT, D = q_ref.shape  # rows = H * n_q, q row r = (head h, query i)
+    Tcap = kt_ref.shape[1]
+    Hkv = kt_ref.shape[0]
+
+    tail_len = meta_ref[0]
+
+    @pl.when(kb == 0)
+    def _():
+        m_scr[...] = jnp.full((HT, 1), NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros((HT, 1), jnp.float32)
+        acc_scr[...] = jnp.zeros((HT, D), jnp.float32)
+
+    q = q_ref[...]
+    # kv head of each q row: r -> (r // n_q) // g
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (HT, 1), 0)
+    q_kvhead = (r_ids // n_q) // g  # (HT, 1)
+    q_idx = r_ids % n_q
+
+    def online_update(s, mask):
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_scr[...] = m_new
+        return p, alpha
+
+    # ---- flat context block ----
+    s = jax.lax.dot_general(
+        q, kf_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (HT, block)
+    rh = rh_ref[...]  # (1, block) head id per flat row (-1 pad)
+    mask = rh == q_kvhead
+    p, alpha = online_update(s, mask)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(vf_ref.dtype), vf_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # ---- tail (query/answer KV) folded in at the last step ----
+    @pl.when(kb == nb - 1)
+    def _():
+        kt = kt_ref[...].reshape(Hkv * Tcap, D)
+        vt = vt_ref[...].reshape(Hkv * Tcap, D)
+        st = jax.lax.dot_general(
+            q, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (HT, Hkv*Tcap)
+        col = jax.lax.broadcasted_iota(jnp.int32, (HT, Hkv * Tcap), 1)
+        col_head = col // Tcap
+        col_t = col % Tcap
+        maskt = (col_head == q_kvhead) & (col_t < tail_len + q_idx + 1)
+        pt, alphat = online_update(st, maskt)
+        acc_scr[...] = acc_scr[...] * alphat + jax.lax.dot_general(
+            pt.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        o_ref[...] = (acc_scr[...] /
+                      jnp.maximum(l_scr[...], 1e-37)).astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block", "interpret"))
+def flat_decode_attend(
+    q: jax.Array,          # (T, H, D), T <= ~64
+    k_flat: jax.Array,     # (R_pad, D)
+    v_flat: jax.Array,
+    row_head: jax.Array,   # (R_pad,) int32, -1 on padding
+    k_tail: jax.Array,     # (Hkv, T_cap, D) — includes this block's appended rows
+    v_tail: jax.Array,
+    tail_len: jax.Array,   # () int32 — tail rows before this block's append
+    *,
+    scale: float,
+    block: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    T, H, D = q.shape
+    Hkv, Tcap, _ = k_tail.shape
+    G = H // Hkv
+    R = k_flat.shape[0]
+    BLK = block
+    while R % BLK:
+        BLK //= 2
+    nb = R // BLK
+
+    # q rows ordered head-major: r = h * T + i
+    q2 = q.transpose(1, 0, 2).reshape(H * T, D)
+    meta = tail_len.astype(jnp.int32)[None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+            pl.BlockSpec((1, BLK), lambda kb, m: (0, kb)),
+            pl.BlockSpec((BLK, D), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((BLK, D), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H * T, 1), jnp.float32),
+            pltpu.VMEM((H * T, 1), jnp.float32),
+            pltpu.VMEM((H * T, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flat_kernel, block=BLK, n_q=T, g=G, scale=scale, dtype=q.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H * T, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(meta, q2, row_head.astype(jnp.int32)[None], k_flat, v_flat,
+      k_tail, v_tail)
+
+    return out.reshape(H, T, D).transpose(1, 0, 2)
