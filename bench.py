@@ -24,6 +24,15 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench runs skip recompiles
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_CACHE_DIR", "/tmp/kvzip_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from kvzip_tpu.config import resolve_config
     from kvzip_tpu.engine import Engine
 
@@ -41,7 +50,7 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
 
     t0 = time.time()
     state = eng.prefill(ctx_ids, do_score=False)
-    jax.block_until_ready(state.cache.k)
+    jax.block_until_ready(jax.tree.leaves(state.cache))
     t_prefill = time.time() - t0
     log(f"prefill: {t_prefill:.2f}s ({ctx_tokens / t_prefill:.0f} tok/s), "
         f"cache {state.mem_gb()} GB")
@@ -70,7 +79,7 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
 
     t0 = time.time()
     thres, true_ratio = eng.prune(state, ratio, "pair")
-    jax.block_until_ready(state.cache.k)
+    jax.block_until_ready(jax.tree.leaves(state.cache))
     t_prune = time.time() - t0
     pruned_bytes = state.cache.used_bytes()
     log(f"prune: {t_prune:.2f}s, true ratio {true_ratio:.3f}, "

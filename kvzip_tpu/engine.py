@@ -358,6 +358,12 @@ class Engine:
         `kvcache.py:123-185`).
         """
         assert state.score is not None, "run scoring() first"
+        from kvzip_tpu.cache import FlatKV
+
+        if isinstance(state.cache, FlatKV):
+            raise RuntimeError(
+                "evict-path prune is one-shot (the dense cache was compacted "
+                "away); use kv_type='retain' to sweep multiple ratios")
         static_layers = (self.config.static_layer_ids
                          if self.config.is_hybrid else None)
         keep, thres, true_ratio = prune_lib.prune_mask(
@@ -464,6 +470,24 @@ class Engine:
                 [state.prefill_ids, query_ids, tokens]).astype(np.int32)
             state.snapshot()
         return self.decode(tokens)
+
+    # --------------------------------------------------------------- __call__
+    def forward_ids(self, input_ids: np.ndarray, state: KVState,
+                    update_cache: bool = False,
+                    return_logits: bool = False) -> Optional[np.ndarray]:
+        """Plain forward pass (reference ``ModelKVzip.__call__``,
+        `model/wrapper.py:120-146`): by default the cache is restored after
+        the call; ``update_cache=True`` keeps the new KV."""
+        if not update_cache:
+            state.snapshot()
+        logits = self._forward_chunks(
+            np.asarray(input_ids, np.int32), state,
+            "all" if return_logits else "none")
+        if not update_cache:
+            state.restore_snapshot()
+        if return_logits:
+            return np.asarray(jax.device_get(logits))
+        return None
 
     # ------------------------------------------------------------------ prob
     def prob(self, input_ids: np.ndarray, state: KVState) -> np.ndarray:

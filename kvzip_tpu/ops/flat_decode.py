@@ -74,21 +74,30 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
         preferred_element_type=jnp.float32)
 
     # ---- tail (query/answer KV) folded in at the last step ----
+    # block-diagonal: each kv head's query rows [h*g*n_q, (h+1)*g*n_q) only
+    # see that head's tail — loop per head keeps VMEM at (g*n_q, Tcap)
     @pl.when(kb == nb - 1)
     def _():
-        kt = kt_ref[...].reshape(Hkv * Tcap, D)
-        vt = vt_ref[...].reshape(Hkv * Tcap, D)
-        st = jax.lax.dot_general(
-            q, kt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (HT, Hkv*Tcap)
-        col = jax.lax.broadcasted_iota(jnp.int32, (HT, Hkv * Tcap), 1)
-        col_head = col // Tcap
-        col_t = col % Tcap
-        maskt = (col_head == q_kvhead) & (col_t < tail_len + q_idx + 1)
-        pt, alphat = online_update(st, maskt)
-        acc_scr[...] = acc_scr[...] * alphat + jax.lax.dot_general(
-            pt.astype(vt.dtype), vt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        rows_h = g * n_q
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 1)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 0) % n_q
+        maskt = col_t < tail_len + qi + 1
+        for hh in range(Hkv):
+            sl = slice(hh * rows_h, (hh + 1) * rows_h)
+            st = jax.lax.dot_general(
+                q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # (rows_h, Tcap)
+            st = jnp.where(maskt, st, NEG_INF)
+            m_prev = m_scr[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(st, axis=1, keepdims=True))
+            alpha = jnp.where(jnp.isfinite(m_prev),
+                              jnp.exp(m_prev - m_new), 0.0)
+            pt = jnp.where(jnp.isfinite(st), jnp.exp(st - m_new), 0.0)
+            l_scr[sl] = l_scr[sl] * alpha + jnp.sum(pt, axis=1, keepdims=True)
+            acc_scr[sl] = acc_scr[sl] * alpha + jax.lax.dot_general(
+                pt.astype(vt_ref.dtype), vt_ref[hh], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[sl] = m_new
 
         o_ref[...] = (acc_scr[...] /
                       jnp.maximum(l_scr[...], 1e-37)).astype(dtype)
@@ -113,7 +122,8 @@ def flat_decode_attend(
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
     R = k_flat.shape[0]
-    BLK = block
+    # keep the (H*T, BLK) score tile within ~6MB of VMEM
+    BLK = min(block, max(128, (6 * 2 ** 20 // (4 * H * T)) // 128 * 128))
     while R % BLK:
         BLK //= 2
     nb = R // BLK
