@@ -26,8 +26,11 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
 
     # persistent compilation cache: repeated bench runs skip recompiles
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_CACHE_DIR", "/tmp/kvzip_jax_cache"))
+        cache_dir = os.environ.get(
+            "JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
