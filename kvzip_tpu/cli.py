@@ -39,6 +39,10 @@ def build_parser():
         sp.add_argument("--dtype", type=str, default="bfloat16")
         sp.add_argument("--tp", type=int, default=0,
                         help="tensor-parallel degree (0 = all devices)")
+        sp.add_argument("--kv_quant", type=str, default="none",
+                        choices=["none", "int4"])
+        sp.add_argument("--weight_quant", type=str, default="none",
+                        choices=["none", "w8a8"])
 
     sp_test = sub.add_parser("test", help="profile + full-vs-pruned compare")
     common(sp_test)
@@ -66,7 +70,9 @@ def make_engine(args):
 
         mesh = make_mesh(tp=args.tp)
     return Engine(args.model, kv_type=args.kv_type,
-                  dtype=getattr(jnp, args.dtype), mesh=mesh)
+                  dtype=getattr(jnp, args.dtype), mesh=mesh,
+                  kv_quant=getattr(args, "kv_quant", "none"),
+                  weight_quant=getattr(args, "weight_quant", "none"))
 
 
 def set_ratios(model_name: str, include_full: bool = False):

@@ -282,11 +282,25 @@ def get_model_id(name: str) -> str:
 def resolve_config(name: str) -> ModelConfig:
     """Resolve a model name to a config: local checkpoint dir > preset."""
     if os.path.isdir(name) and os.path.exists(os.path.join(name, "config.json")):
-        return ModelConfig.from_json(os.path.join(name, "config.json"), name=name)
-    if name in PRESETS:
-        return PRESETS[name]
-    if name.startswith("tiny-"):
+        cfg = ModelConfig.from_json(os.path.join(name, "config.json"), name=name)
+    elif name in PRESETS:
+        cfg = PRESETS[name]
+    elif name.startswith("tiny-"):
         return tiny_config(name.split("tiny-")[1])
-    raise ValueError(
-        f"Unknown model {name!r}; provide a checkpoint dir with config.json, "
-        f"a preset ({sorted(PRESETS)}), or 'tiny-<family>'.")
+    else:
+        raise ValueError(
+            f"Unknown model {name!r}; provide a checkpoint dir with "
+            f"config.json, a preset ({sorted(PRESETS)}), or 'tiny-<family>'.")
+
+    # parity: the reference force-enables yarn x4 long-context scaling for
+    # every qwen3 load (`model/load.py:49-55`)
+    base = os.path.basename(name.rstrip("/")).lower()
+    if cfg.family == "qwen3" and ("qwen3" in base) and \
+            cfg.rope.scaling_type == "default":
+        cfg = dataclasses.replace(
+            cfg,
+            rope=dataclasses.replace(
+                cfg.rope, scaling_type="yarn", scaling_factor=4.0,
+                original_max_position_embeddings=32768),
+            max_position_embeddings=131072)
+    return cfg

@@ -1,0 +1,122 @@
+"""Batched serving utilities: decode many compressed contexts at once.
+
+The reference is strictly single-sequence (SURVEY.md §2b). Here, B per-context
+caches (each independently prefilled/scored/pruned — possibly at different
+ratios) are stacked on a leading batch axis and decoded together with a
+vmapped forward step: weight reads amortize across the batch, and on a mesh
+the batch axis shards over "data" (DP) while heads shard over "model" (TP).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvzip_tpu.cache import KVCache
+from kvzip_tpu.engine import Engine, KVState
+from kvzip_tpu.models.transformer import forward
+
+
+def _pad_capacity(cache: KVCache, capacity: int) -> KVCache:
+    if cache.capacity == capacity:
+        return cache
+    extra = capacity - cache.capacity
+    return dataclasses.replace(
+        cache,
+        k=jnp.pad(cache.k, ((0, 0), (0, 0), (0, extra), (0, 0))),
+        v=jnp.pad(cache.v, ((0, 0), (0, 0), (0, extra), (0, 0))),
+        valid=jnp.pad(cache.valid, ((0, 0), (0, 0), (0, extra)),
+                      constant_values=True),
+    )
+
+
+def stack_caches(caches: Sequence[KVCache]) -> KVCache:
+    """Stack caches on a leading batch axis (padded to the max capacity)."""
+    cap = max(c.capacity for c in caches)
+    caches = [_pad_capacity(c, cap) for c in caches]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
+
+
+def unstack_caches(batched: KVCache, n: int) -> List[KVCache]:
+    return [jax.tree.map(lambda x: x[i], batched) for i in range(n)]
+
+
+def batched_generate(
+    engine: Engine,
+    queries: Sequence[np.ndarray],
+    states: Sequence[KVState],
+    max_new_tokens: Optional[int] = None,
+) -> List[str]:
+    """Greedy-decode one query per compressed context, batched.
+
+    Query tokens are processed per sequence (reusing the engine's single
+    sequence jits); the decode loop runs vmapped across the batch so each
+    step reads the weights once for all sequences.
+    """
+    assert len(queries) == len(states)
+    B = len(states)
+    max_new = max_new_tokens or engine.max_new_tokens
+    cfg = engine.config
+    eos = jnp.asarray(engine.eos_ids, jnp.int32)
+
+    # per-sequence query ingestion (distinct lengths), collect first tokens
+    firsts = []
+    for q_ids, st in zip(queries, states):
+        st.snapshot()
+        logits = engine._forward_chunks(np.asarray(q_ids, np.int32), st, "last")
+        firsts.append(jnp.argmax(logits[-1]).astype(jnp.int32))
+
+    batched = stack_caches([st.cache for st in states])
+    first_tok = jnp.stack(firsts)
+
+    impl = "blockwise"  # vmap-safe XLA path
+    step = partial(forward, collect_logits="last", attn_impl=impl)
+
+    @partial(jax.jit, static_argnames=("max_steps",), donate_argnames=("cache",))
+    def decode(params, cache, first, max_steps: int):
+        tokens0 = jnp.zeros((B, max_steps + 1), jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(first)
+
+        def one(tok, c):
+            res = step(params, cfg, tok[None], c)
+            return jnp.argmax(res.logits[-1]).astype(jnp.int32), res.cache
+
+        def cond(carry):
+            i, done, _, _ = carry
+            return (~jnp.all(done)) & (i < max_steps)
+
+        def body(carry):
+            i, done, tokens, cache = carry
+            nxt, cache = jax.vmap(one, in_axes=(0, 0))(tokens[:, i], cache)
+            # frozen sequences keep emitting their last token (masked out later)
+            nxt = jnp.where(done, tokens[:, i], nxt)
+            tokens = tokens.at[:, i + 1].set(nxt)
+            done = done | jnp.isin(nxt, eos)
+            return (i + 1, done, tokens, cache)
+
+        done0 = jnp.isin(first, eos)
+        i, done, tokens, cache = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), done0, tokens0, cache))
+        return tokens, i, cache
+
+    tokens, n, batched = decode(engine.params, batched, first_tok,
+                                max_new - 1)
+    tokens = np.asarray(jax.device_get(tokens))
+    n = int(jax.device_get(n))
+
+    outs = []
+    for b, st in enumerate(states):
+        seq = tokens[b, :n + 1]
+        # trim at first eos
+        stop = np.isin(seq, np.asarray(engine.eos_ids))
+        if stop.any():
+            seq = seq[:int(np.argmax(stop))]
+        outs.append(engine.decode(seq))
+        st.cache = jax.tree.map(lambda x: x[b], batched)
+        st.restore_snapshot()
+    return outs
