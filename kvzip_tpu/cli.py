@@ -193,9 +193,52 @@ def cmd_demo(args):
         print("-" * 100)
 
 
+def parse_answer_supplement(name: str):
+    """Supplementary eval info for mixed SCBench tasks (reference
+    `results/parse.py:9-55`): many_shot option expansion, repoqa metadata
+    (lang/repo/func_name/ground_truth), per-sample subtask routing. Needs the
+    HF dataset; returns ([], []) offline."""
+    answers, subtasks = [], []
+    try:
+        from datasets import load_dataset
+        from collections import defaultdict
+
+        if "many_shot" in name:
+            samples = load_dataset("Jang-Hyun/SCBench-preprocessed",
+                                   data_files=f"{name}.parquet", split="train")
+            for data in samples:
+                d = []
+                for q, gt in zip(data["prompts"][1:], data["ground_truth"]):
+                    cand = [sol for sol in q.split("\n") if f"({gt})" in sol]
+                    d.append(cand[0].strip() if len(cand) == 1 else str(gt))
+                answers.append(d)
+        elif "repoqa" in name:
+            samples = load_dataset("Jang-Hyun/SCBench-preprocessed",
+                                   data_files=f"{name}.parquet", split="train")
+            for data in samples:
+                d = defaultdict(list)
+                d["lang"] = data["lang"]
+                d["repo"] = data["repo"]
+                d["func_name"] = data["func_name"]
+                d["ground_truth"] = data["ground_truth"]
+                answers.append(d)
+                if "task" in data:
+                    subtasks.append(data["task"])
+        elif "summary_with_needles" in name:
+            samples = load_dataset("Jang-Hyun/SCBench-preprocessed",
+                                   data_files=f"{name}.parquet", split="train")
+            for data in samples:
+                subtasks.append(data["task"])
+                answers.append(data["ground_truth"])
+    except Exception:
+        return [], []
+    return answers, subtasks
+
+
 def cmd_parse(args):
     from kvzip_tpu.eval.metrics import evaluate_answer
 
+    answers_supp, subtasks = parse_answer_supplement(args.data)
     ratios = set_ratios(args.model, include_full=True)
     root = "./results"
     folder_list = sorted(glob.glob(
@@ -203,7 +246,7 @@ def cmd_parse(args):
     print(f"\nEvaluate {args.data} on {len(folder_list)} samples, {args.model}")
 
     eval_list_ratio = {r: [] for r in ratios}
-    for file in folder_list:
+    for i, file in enumerate(folder_list):
         with open(file) as f:
             data = json.load(f)
         preds = defaultdict(list)
@@ -217,9 +260,13 @@ def cmd_parse(args):
                 if len(preds[1.0]) < len(preds[ratios[-1]]):
                     preds[1.0].append(text["full__"])
                 answers.append(text["answer"])
+        if answers_supp:
+            answers = answers_supp[i]
+        subtask = subtasks[i] if subtasks else None
         for r in ratios:
             if preds[r]:
-                perf = evaluate_answer(preds[r], answers, args.data, args.task)
+                perf = evaluate_answer(preds[r], answers, args.data,
+                                       args.task, subtask=subtask)
                 eval_list_ratio[r].append(perf)
 
     print("ratio avg_performance")
