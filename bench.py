@@ -20,7 +20,8 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
+def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
+        weight_quant: str = "none", kv_quant: str = "none"):
     import jax
     import jax.numpy as jnp
 
@@ -44,7 +45,8 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float):
         f"{cfg.num_kv_heads} D={cfg.hidden_size} ctx={ctx_tokens}")
 
     eng = Engine(model_name, kv_type="evict", config=cfg, dtype=jnp.bfloat16,
-                 max_new_tokens=decode_tokens, decode_budget=decode_tokens + 256)
+                 max_new_tokens=decode_tokens, decode_budget=decode_tokens + 256,
+                 weight_quant=weight_quant, kv_quant=kv_quant)
     # benchmark decodes a fixed token count: disable EOS stopping
     eng.eos_ids = (-1,)
 
@@ -113,9 +115,11 @@ def main():
     ctx = int(os.environ.get("BENCH_CTX", 32768))
     dec = int(os.environ.get("BENCH_DECODE", 64))
     ratio = float(os.environ.get("BENCH_RATIO", 0.3))
+    wq = os.environ.get("BENCH_WEIGHT_QUANT", "none")
+    kq = os.environ.get("BENCH_KV_QUANT", "none")
 
     try:
-        r = run(model, ctx, dec, ratio)
+        r = run(model, ctx, dec, ratio, weight_quant=wq, kv_quant=kq)
         # reference headline: 2.03x decode speedup at ratio 0.3 (demo.png)
         out = {
             "metric": f"decode tokens/s/chip post-eviction (r={ratio}, "

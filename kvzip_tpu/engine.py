@@ -132,6 +132,9 @@ class Engine:
         self.score_width = _round_up(score_chunk_size, 128)
         self.score_q_pad = self.score_width + 256
 
+        self.kv_quant = kv_quant
+        self.weight_quant = weight_quant
+        self.flat_decode = flat_decode
         if params is None:
             import glob as _glob
             import os as _os
@@ -139,13 +142,15 @@ class Engine:
                     _os.path.join(model_name, "*.safetensors")):
                 params = params_lib.load_hf_params(self.config, model_name,
                                                    dtype)
+            elif weight_quant == "w8a8":
+                # quantized-form init: avoids the transient bf16 copy
+                params = params_lib.init_params_w8a8(
+                    self.config, jax.random.PRNGKey(seed), dtype)
             else:
                 params = params_lib.init_params(
                     self.config, jax.random.PRNGKey(seed), dtype)
-        self.kv_quant = kv_quant
-        self.weight_quant = weight_quant
-        self.flat_decode = flat_decode
-        if weight_quant == "w8a8":
+        if weight_quant == "w8a8" and not isinstance(
+                params["layers"].get("wq"), dict):
             from kvzip_tpu.ops.quant import quantize_params_w8a8
             params = quantize_params_w8a8(params)
         self.mesh = mesh

@@ -142,5 +142,54 @@ def load_hf_params(cfg: ModelConfig, ckpt_dir: str, dtype=jnp.bfloat16) -> Param
     return params
 
 
+def init_params_w8a8(cfg: ModelConfig, key: jax.Array,
+                     dtype=jnp.bfloat16) -> Params:
+    """Random-init directly in W8A8 form, one weight stack at a time — a 7B
+    bf16-init-then-quantize would transiently need ~21 GB and not fit one
+    v5e chip; stack-wise the peak overhead is a single bf16 stack."""
+    from kvzip_tpu.ops.quant import quantize_weight_int8
+
+    D, H, Hkv, Dh = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
+                     cfg.head_dim)
+    L, I, V = cfg.num_layers, cfg.intermediate_size, cfg.vocab_size
+
+    shapes = {
+        "wq": (L, D, H * Dh), "wk": (L, D, Hkv * Dh), "wv": (L, D, Hkv * Dh),
+        "wo": (L, H * Dh, D), "w_gate": (L, D, I), "w_up": (L, D, I),
+        "w_down": (L, I, D),
+    }
+    lp = {}
+    for i, name in enumerate(shapes):
+        lp[name] = jax.jit(
+            lambda k, s=shapes[name]: quantize_weight_int8(
+                (jax.random.normal(k, s, jnp.float32) * 0.02).astype(dtype))
+        )(jax.random.fold_in(key, i))
+        jax.block_until_ready(lp[name]["q"])
+    lp["ln_attn"] = jnp.ones((L, D), dtype)
+    lp["ln_mlp"] = jnp.ones((L, D), dtype)
+    if cfg.attention_bias:
+        lp["bq"] = jnp.zeros((L, H * Dh), dtype)
+        lp["bk"] = jnp.zeros((L, Hkv * Dh), dtype)
+        lp["bv"] = jnp.zeros((L, Hkv * Dh), dtype)
+    if cfg.qk_norm:
+        lp["q_norm"] = jnp.ones((L, Dh), dtype)
+        lp["k_norm"] = jnp.ones((L, Dh), dtype)
+    if cfg.post_norms:
+        lp["ln_post_attn"] = jnp.ones((L, D), dtype)
+        lp["ln_post_mlp"] = jnp.ones((L, D), dtype)
+
+    params: Params = {
+        "embed": (jax.random.normal(jax.random.fold_in(key, 98), (V, D),
+                                    jnp.float32) * 0.02).astype(dtype),
+        "layers": lp,
+        "final_norm": jnp.ones((D,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = (jax.random.normal(
+            jax.random.fold_in(key, 99), (V, D), jnp.float32) * 0.02
+        ).astype(dtype)
+    return params
+
+
 def param_bytes(params: Params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
