@@ -208,6 +208,93 @@ def build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlatInt4KV:
+    """Flat compacted decode cache with INT4 context rows (split packing,
+    one quant group per row — head_dim == group_size) + bf16 tail.
+
+    Same structure as :class:`FlatKV`; context K/V live as packed nibbles
+    with per-row scale/zero so decode HBM traffic is ~4x below bf16. The
+    tail (query/answer KV) stays bf16 — it is tiny and quality-critical.
+    """
+
+    k_flat_q: jax.Array  # (L, R_pad, D//2) uint8
+    v_flat_q: jax.Array
+    k_flat_s: jax.Array  # (L, R_pad) scales
+    k_flat_z: jax.Array  # (L, R_pad) zero points
+    v_flat_s: jax.Array
+    v_flat_z: jax.Array
+    row_head: jax.Array  # (L, R_pad) int32
+    k_tail: jax.Array    # (L, H_kv, T_cap, D) bf16
+    v_tail: jax.Array
+    lengths: jax.Array   # (L, H_kv) int32
+    tail_len: jax.Array  # () int32
+    seen: jax.Array      # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.k_flat_q.shape[1]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k_flat_q.shape[0]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_tail.shape[1]
+
+    def mem_bytes(self) -> int:
+        ctx = (self.k_flat_q.size
+               + self.k_flat_s.size * self.k_flat_s.dtype.itemsize * 2)
+        tail = self.k_tail.size * self.k_tail.dtype.itemsize
+        return (ctx + tail) * 2
+
+    def used_bytes(self) -> float:
+        d = self.k_flat_q.shape[-1]
+        bytes_per_row = d + 2 * self.k_flat_s.dtype.itemsize
+        rows = int(jax.device_get(self.lengths).sum())
+        return float(rows * bytes_per_row * 2)
+
+
+def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
+                    r_pad: int, tail_cap: int, dtype=jnp.bfloat16) -> FlatInt4KV:
+    """Compact an INT4 cache into the flat decode layout (packed rows move
+    verbatim — no requantization)."""
+    L, H, C, Dp = cache.k_q.shape
+    assert cache.k_s.shape[-1] == 1, "flat int4 needs one quant group per row"
+    ctx_len = keep.shape[-1]
+
+    keep_full = jnp.zeros((L, H, C), jnp.bool_)
+    keep_full = keep_full.at[:, :, :sink].set(True)
+    keep_full = jax.lax.dynamic_update_slice(
+        keep_full, keep.astype(jnp.bool_), (0, 0, sink))
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, H, C), 2)
+    keep_full &= col < sink + ctx_len
+
+    flat_keep = keep_full.reshape(L, H * C)
+    order = jnp.argsort(~flat_keep, axis=-1, stable=True)
+    take = order[:, :r_pad]
+    kept = jnp.take_along_axis(flat_keep, take, axis=1)
+
+    def gather3(a):
+        out = jnp.take_along_axis(a.reshape(L, H * C, a.shape[-1]),
+                                  take[..., None], axis=1)
+        return jnp.where(kept[..., None], out, 0)
+
+    return FlatInt4KV(
+        k_flat_q=gather3(cache.k_q), v_flat_q=gather3(cache.v_q),
+        k_flat_s=gather3(cache.k_s)[..., 0], k_flat_z=gather3(cache.k_z)[..., 0],
+        v_flat_s=gather3(cache.v_s)[..., 0], v_flat_z=gather3(cache.v_z)[..., 0],
+        row_head=jnp.where(kept, (take // C).astype(jnp.int32), -1),
+        k_tail=jnp.zeros((L, H, tail_cap, Dp * 2), dtype),
+        v_tail=jnp.zeros((L, H, tail_cap, Dp * 2), dtype),
+        lengths=keep_full.sum(axis=-1).astype(jnp.int32),
+        tail_len=jnp.zeros((), jnp.int32),
+        seen=cache.seen,
+    )
+
+
 def init_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     return KVCache(
@@ -266,8 +353,11 @@ def append_layer_int4(cache_arrays: tuple, lens: jax.Array,
     from kvzip_tpu.ops.quant import quantize_int4
 
     k_q, v_q, k_s, k_z, v_s, v_z = cache_arrays
-    kq, ks, kz = quantize_int4(jnp.swapaxes(k_new, 0, 1), group_size)  # (H,T,..)
-    vq, vs, vz = quantize_int4(jnp.swapaxes(v_new, 0, 1), group_size)
+    # split packing: TPU kernels unpack via concat (see ops/quant.py)
+    kq, ks, kz = quantize_int4(jnp.swapaxes(k_new, 0, 1), group_size,
+                               pack="split")  # (H, T, ...)
+    vq, vs, vz = quantize_int4(jnp.swapaxes(v_new, 0, 1), group_size,
+                               pack="split")
 
     def upd(cache_h, new_h, len_h):
         return jax.lax.dynamic_update_slice(cache_h, new_h, (len_h, 0))

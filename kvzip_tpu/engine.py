@@ -184,19 +184,21 @@ class Engine:
 
     # --------------------------------------------------------------- forward
     def _use_flat(self, state: "KVState") -> bool:
-        """Build the flat decode cache at prune time? (evict path, bf16 KV,
-        128-aligned head_dim; CPU only when explicitly interpreted)."""
-        if self.flat_decode == "off" or self.kv_quant != "none":
+        """Build the flat decode cache at prune time? (evict path; bf16 or
+        int4-with-one-group-per-row KV; 128-aligned head_dim)."""
+        if self.flat_decode == "off":
             return False
+        if self.kv_quant == "int4" and self.config.head_dim != 128:
+            return False  # int4 flat kernel needs one quant group per row
         if self.flat_decode == "on":
             return True
         return (self.mesh is None and self.config.head_dim % 128 == 0
                 and jax.default_backend() != "cpu")
 
     def _impl(self, state: "KVState") -> str:
-        from kvzip_tpu.cache import FlatKV
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV
 
-        if isinstance(state.cache, FlatKV):
+        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
             return ("flash" if jax.default_backend() != "cpu"
                     else "flash_interpret")
         # Pallas flash whenever the shape allows (no retain-mask needed,
@@ -385,14 +387,20 @@ class Engine:
         elif state.kv_type == "evict":
             if self._use_flat(state):
                 # flat decode layout: HBM reads = true compressed footprint
-                from kvzip_tpu.cache import build_flat
+                from kvzip_tpu.cache import (Int4KVCache, build_flat,
+                                             build_flat_int4)
 
                 per_layer = np.asarray(jax.device_get(keep.sum(axis=(1, 2))))
                 r_pad = _round_up(
                     int(per_layer.max())
                     + state.sink * self.config.num_kv_heads, 2048)
-                state.cache = build_flat(state.cache, keep, state.sink,
-                                         r_pad, self.decode_budget)
+                if isinstance(state.cache, Int4KVCache):
+                    state.cache = build_flat_int4(
+                        state.cache, keep, state.sink, r_pad,
+                        self.decode_budget, self.dtype)
+                else:
+                    state.cache = build_flat(state.cache, keep, state.sink,
+                                             r_pad, self.decode_budget)
             else:
                 kept_rows = int(jax.device_get(
                     keep.sum(axis=-1).max())) + state.sink

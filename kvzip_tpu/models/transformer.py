@@ -26,7 +26,8 @@ from typing import NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
-from kvzip_tpu.cache import FlatKV, Int4KVCache, KVCache, append_layer, append_layer_int4
+from kvzip_tpu.cache import (FlatInt4KV, FlatKV, Int4KVCache, KVCache,
+                             append_layer, append_layer_int4)
 from kvzip_tpu.config import ModelConfig
 from kvzip_tpu.models.rope import apply_rope, rope_cos_sin
 from kvzip_tpu.ops import attention as attn_ops
@@ -94,7 +95,8 @@ def forward(
 ) -> ForwardResult:
     T = ids.shape[0]
     is_int4 = isinstance(cache, Int4KVCache)
-    is_flat = isinstance(cache, FlatKV)
+    is_flat = isinstance(cache, (FlatKV, FlatInt4KV))
+    is_flat_int4 = isinstance(cache, FlatInt4KV)
     L, Hkv = cfg.num_layers, cfg.num_kv_heads
     Dh = cfg.head_dim
     H = cfg.num_heads
@@ -125,7 +127,11 @@ def forward(
     q_pos0 = cache.seen
     tail_len0 = cache.tail_len if is_flat else None
     if is_flat:
-        flat_k_all, flat_v_all = cache.k_flat, cache.v_flat
+        if is_flat_int4:
+            flat_arrays = (cache.k_flat_q, cache.k_flat_s, cache.k_flat_z,
+                           cache.v_flat_q, cache.v_flat_s, cache.v_flat_z)
+        else:
+            flat_arrays = (cache.k_flat, cache.v_flat)
         flat_rh_all = cache.row_head
         if scoring:
             raise ValueError("scoring runs pre-prune; FlatKV is decode-only")
@@ -185,7 +191,7 @@ def forward(
             if is_int4:
                 kq_l, _, ks_l, kz_l = layer_store[0], None, layer_store[2], layer_store[3]
                 k_sink = dequantize_int4(kq_l[:, :sink], ks_l[:, :sink],
-                                         kz_l[:, :sink], dtype)
+                                         kz_l[:, :sink], dtype, pack="split")
                 G4 = ks_l.shape[-1]
                 k_ctx = dequantize_int4(
                     jax.lax.dynamic_slice(kq_l, (0, score_start, 0),
@@ -193,13 +199,14 @@ def forward(
                     jax.lax.dynamic_slice(ks_l, (0, score_start, 0),
                                           (Hkv, score_width, G4)),
                     jax.lax.dynamic_slice(kz_l, (0, score_start, 0),
-                                          (Hkv, score_width, G4)), dtype)
+                                          (Hkv, score_width, G4)), dtype,
+                    pack="split")
                 # repeat-window keys go through the same quantization the
                 # cache stores (reference scores on dequantized keys,
                 # quant attn.py:55-57)
                 from kvzip_tpu.ops.quant import quantize_int4
-                kq_r, ks_r, kz_r = quantize_int4(k)
-                k_rep = dequantize_int4(kq_r, ks_r, kz_r, dtype)
+                kq_r, ks_r, kz_r = quantize_int4(k, pack="split")
+                k_rep = dequantize_int4(kq_r, ks_r, kz_r, dtype, pack="split")
             else:
                 k_cache = layer_store[0]
                 k_sink = k_cache[:, :sink]
@@ -229,12 +236,20 @@ def forward(
         if windows is not None:
             win = windows[layer_idx]
         if is_flat:
-            from kvzip_tpu.ops.flat_decode import flat_decode_attend
-            attn_out = flat_decode_attend(
-                q, flat_k_all[layer_idx], flat_v_all[layer_idx],
-                flat_rh_all[layer_idx], layer_store[0], layer_store[1],
-                tail_len0, scale=scale,
-                interpret=(attn_impl == "flash_interpret"))
+            from kvzip_tpu.ops.flat_decode import (flat_decode_attend,
+                                                   flat_decode_attend_int4)
+            interp_flag = attn_impl == "flash_interpret"
+            per_layer_flat = tuple(a[layer_idx] for a in flat_arrays)
+            if is_flat_int4:
+                attn_out = flat_decode_attend_int4(
+                    q, *per_layer_flat, flat_rh_all[layer_idx],
+                    layer_store[0], layer_store[1], tail_len0, scale=scale,
+                    interpret=interp_flag)
+            else:
+                attn_out = flat_decode_attend(
+                    q, per_layer_flat[0], per_layer_flat[1],
+                    flat_rh_all[layer_idx], layer_store[0], layer_store[1],
+                    tail_len0, scale=scale, interpret=interp_flag)
         elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
             attn_out = attn_ops.attend_blockwise_int4(

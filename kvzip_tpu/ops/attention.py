@@ -176,8 +176,8 @@ def attend_blockwise_int4(
     def body(carry, inp):
         m, l, acc = carry
         (kq_b, ks_b, kz_b, vq_b, vs_b, vz_b), vmask_b, blk_idx = inp
-        k_blk = dequantize_int4(kq_b, ks_b, kz_b, jnp.float32)
-        v_blk = dequantize_int4(vq_b, vs_b, vz_b, jnp.float32)
+        k_blk = dequantize_int4(kq_b, ks_b, kz_b, jnp.float32, pack="split")
+        v_blk = dequantize_int4(vq_b, vs_b, vz_b, jnp.float32, pack="split")
 
         col = col_local + blk_idx * kv_block
         mask = col < (base_lens[:, None, None] + row + 1)

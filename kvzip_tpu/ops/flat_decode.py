@@ -103,6 +103,158 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
                       jnp.maximum(l_scr[...], 1e-37)).astype(dtype)
 
 
+def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
+                      vq_ref, vs_ref, vz_ref, kt_ref, vt_ref,
+                      o_ref, m_scr, l_scr, acc_scr,
+                      *, block: int, n_q: int, g: int, scale: float, dtype):
+    """INT4-context variant: dequantize each flat tile in-register (split
+    packing: element j high nibble, j+D/2 low; one scale/zero per row)."""
+    kb = pl.program_id(0)
+    nb = pl.num_programs(0)
+    HT, D = q_ref.shape
+    Tcap = kt_ref.shape[1]
+    Hkv = kt_ref.shape[0]
+    tail_len = meta_ref[0]
+
+    @pl.when(kb == 0)
+    def _():
+        m_scr[...] = jnp.full((HT, 1), NEG_INF, jnp.float32)
+        l_scr[...] = jnp.zeros((HT, 1), jnp.float32)
+        acc_scr[...] = jnp.zeros((HT, D), jnp.float32)
+
+    q = q_ref[...]
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (HT, 1), 0)
+    q_kvhead = (r_ids // n_q) // g
+    q_idx = r_ids % n_q
+
+    def dequant(p_ref, s_ref, z_ref):
+        pi = p_ref[...].astype(jnp.int32)
+        hi = (pi >> 4).astype(jnp.float32)
+        lo = (pi & 0xF).astype(jnp.float32)
+        x = jnp.concatenate([hi, lo], axis=-1)  # (block, D)
+        s = s_ref[...].reshape(block, 1).astype(jnp.float32)
+        z = z_ref[...].reshape(block, 1).astype(jnp.float32)
+        return (x * s + z).astype(q.dtype)
+
+    k_blk = dequant(kq_ref, ks_ref, kz_ref)
+    v_blk = dequant(vq_ref, vs_ref, vz_ref)
+
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    mask = rh_ref[...] == q_kvhead
+    s = jnp.where(mask, s, NEG_INF)
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+    p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[...] = m_new
+
+    @pl.when(kb == nb - 1)
+    def _():
+        rows_h = g * n_q
+        col_t = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 1)
+        qi = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 0) % n_q
+        maskt = col_t < tail_len + qi + 1
+        for hh in range(Hkv):
+            sl = slice(hh * rows_h, (hh + 1) * rows_h)
+            st = jax.lax.dot_general(
+                q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            st = jnp.where(maskt, st, NEG_INF)
+            m_prev = m_scr[sl]
+            m_new = jnp.maximum(m_prev, jnp.max(st, axis=1, keepdims=True))
+            a2 = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+            pt = jnp.where(jnp.isfinite(st), jnp.exp(st - m_new), 0.0)
+            l_scr[sl] = l_scr[sl] * a2 + jnp.sum(pt, axis=1, keepdims=True)
+            acc_scr[sl] = acc_scr[sl] * a2 + jax.lax.dot_general(
+                pt.astype(vt_ref.dtype), vt_ref[hh], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_scr[sl] = m_new
+
+        o_ref[...] = (acc_scr[...] /
+                      jnp.maximum(l_scr[...], 1e-37)).astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block", "interpret"))
+def flat_decode_attend_int4(
+    q: jax.Array,          # (T, H, D)
+    k_flat_q: jax.Array,   # (R_pad, D//2) uint8
+    k_flat_s: jax.Array,   # (R_pad,)
+    k_flat_z: jax.Array,
+    v_flat_q: jax.Array,
+    v_flat_s: jax.Array,
+    v_flat_z: jax.Array,
+    row_head: jax.Array,   # (R_pad,) int32
+    k_tail: jax.Array,     # (Hkv, T_cap, D) bf16
+    v_tail: jax.Array,
+    tail_len: jax.Array,
+    *,
+    scale: float,
+    block: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    T, H, D = q.shape
+    Hkv, Tcap, _ = k_tail.shape
+    G = H // Hkv
+    R = k_flat_q.shape[0]
+    BLK = min(block, max(128, (6 * 2 ** 20 // (4 * H * T)) // 128 * 128))
+    while R % BLK:
+        BLK //= 2
+    nb = R // BLK
+
+    q2 = q.transpose(1, 0, 2).reshape(H * T, D)
+    meta = tail_len.astype(jnp.int32)[None]
+
+    def blk1(kb, m):
+        return (0, kb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+            pl.BlockSpec((1, BLK), blk1),
+            pl.BlockSpec((BLK, D // 2), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((1, BLK), blk1),
+            pl.BlockSpec((1, BLK), blk1),
+            pl.BlockSpec((BLK, D // 2), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((1, BLK), blk1),
+            pl.BlockSpec((1, BLK), blk1),
+            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H * T, 1), jnp.float32),
+            pltpu.VMEM((H * T, 1), jnp.float32),
+            pltpu.VMEM((H * T, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _flat_int4_kernel, block=BLK, n_q=T, g=G, scale=scale, dtype=q.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H * T, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(meta, q2, row_head.astype(jnp.int32)[None],
+      k_flat_q, k_flat_s.astype(jnp.float32)[None],
+      k_flat_z.astype(jnp.float32)[None],
+      v_flat_q, v_flat_s.astype(jnp.float32)[None],
+      v_flat_z.astype(jnp.float32)[None], k_tail, v_tail)
+
+    return out.reshape(H, T, D).transpose(1, 0, 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "block", "interpret"))
 def flat_decode_attend(

@@ -25,9 +25,16 @@ INT4_GROUP = 128
 EPS = 1e-8
 
 
-def quantize_int4(x: jax.Array, group_size: int = INT4_GROUP
+def quantize_int4(x: jax.Array, group_size: int = INT4_GROUP,
+                  pack: str = "pairs"
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """x: (..., D) -> packed (..., D//2) uint8, scale/zero (..., D//g)."""
+    """x: (..., D) -> packed (..., D//2) uint8, scale/zero (..., D//g).
+
+    pack="pairs": reference byte layout (element 2j in the high nibble,
+    2j+1 low — `quantize_int4.cu:123-139`). pack="split": element j high,
+    j + D/2 low — nibble unpack becomes a concat instead of an interleave,
+    which is what Mosaic can vectorize; the cache uses this layout.
+    """
     *lead, D = x.shape
     g = min(group_size, D)
     xg = x.reshape(*lead, D // g, g).astype(jnp.float32)
@@ -37,17 +44,24 @@ def quantize_int4(x: jax.Array, group_size: int = INT4_GROUP
     zero = mn
     q = jnp.clip(jnp.round((xg - zero[..., None]) / scale[..., None]), 0, 15)
     q = q.astype(jnp.uint8).reshape(*lead, D)
-    packed = (q[..., 0::2] << 4) | q[..., 1::2]
+    if pack == "pairs":
+        packed = (q[..., 0::2] << 4) | q[..., 1::2]
+    else:
+        half = D // 2
+        packed = (q[..., :half] << 4) | q[..., half:]
     return packed, scale.astype(x.dtype), zero.astype(x.dtype)
 
 
 def dequantize_int4(packed: jax.Array, scale: jax.Array, zero: jax.Array,
-                    out_dtype=jnp.bfloat16) -> jax.Array:
+                    out_dtype=jnp.bfloat16, pack: str = "pairs") -> jax.Array:
     """packed (..., D//2) + scale/zero (..., D//g) -> (..., D)."""
     hi = (packed >> 4).astype(jnp.int32)
     lo = (packed & 0xF).astype(jnp.int32)
-    q = jnp.stack([hi, lo], axis=-1).reshape(*packed.shape[:-1],
-                                             packed.shape[-1] * 2)
+    if pack == "pairs":
+        q = jnp.stack([hi, lo], axis=-1).reshape(*packed.shape[:-1],
+                                                 packed.shape[-1] * 2)
+    else:
+        q = jnp.concatenate([hi, lo], axis=-1)
     D = q.shape[-1]
     g = D // scale.shape[-1]
     qg = q.reshape(*packed.shape[:-1], D // g, g)

@@ -1,0 +1,73 @@
+"""INT4 flat decode: kernel parity with the bf16 flat path + engine e2e."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvzip_tpu.config import tiny_config
+from kvzip_tpu.engine import Engine
+from kvzip_tpu.ops.flat_decode import flat_decode_attend, flat_decode_attend_int4
+from kvzip_tpu.ops.quant import dequantize_int4, quantize_int4
+
+CTX = ("Quantized flat caches stream packed nibbles. " * 25 +
+       "The callsign is bluejay. " +
+       "Padding sentences fill out the rest of the context. " * 25)
+
+
+def test_int4_flat_kernel_matches_bf16_flat():
+    rng = np.random.default_rng(0)
+    Hkv, G, D, T = 2, 2, 128, 1
+    H = Hkv * G
+    R_pad, Tcap, tail_used = 64, 8, 2
+
+    k_flat = rng.standard_normal((R_pad, D)).astype(np.float32)
+    v_flat = rng.standard_normal((R_pad, D)).astype(np.float32)
+    row_head = np.full((R_pad,), -1, np.int32)
+    row_head[:20] = 0
+    row_head[20:49] = 1
+    k_tail = rng.standard_normal((Hkv, Tcap, D)).astype(np.float32)
+    v_tail = rng.standard_normal((Hkv, Tcap, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+
+    kq, ks, kz = quantize_int4(jnp.asarray(k_flat), pack="split")
+    vq, vs, vz = quantize_int4(jnp.asarray(v_flat), pack="split")
+
+    got = flat_decode_attend_int4(
+        q, kq, ks[:, 0], kz[:, 0], vq, vs[:, 0], vz[:, 0],
+        jnp.asarray(row_head), jnp.asarray(k_tail), jnp.asarray(v_tail),
+        jnp.asarray(tail_used, jnp.int32), scale=D ** -0.5, block=32,
+        interpret=True)
+
+    # reference: bf16 flat kernel over the dequantized rows
+    k_deq = dequantize_int4(kq, ks, kz, jnp.float32, pack="split")
+    v_deq = dequantize_int4(vq, vs, vz, jnp.float32, pack="split")
+    want = flat_decode_attend(
+        q, k_deq, v_deq, jnp.asarray(row_head), jnp.asarray(k_tail),
+        jnp.asarray(v_tail), jnp.asarray(tail_used, jnp.int32),
+        scale=D ** -0.5, block=32, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int4_flat_engine_end_to_end():
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=6, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, kv_quant="int4", flat_decode="on")
+    st = eng.prefill(CTX, prefill_chunk_size=300)
+    full_used = st.cache.used_bytes()
+    eng.prune(st, 0.5, "pair")
+
+    from kvzip_tpu.cache import FlatInt4KV
+
+    assert isinstance(st.cache, FlatInt4KV)
+    assert st.cache.used_bytes() < full_used
+
+    out = eng.generate(eng.apply_template("What is the callsign?"), st)
+    assert isinstance(out, str)
+    assert int(jax.device_get(st.cache.tail_len)) == 0  # restored
+
+    p = eng.prob(eng.apply_template("What is the callsign?"), st)
+    np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)

@@ -49,14 +49,28 @@ def test_int4_attention_close_to_fp():
 
     ref = attn_ops.attend_dense(q, jnp.asarray(k), jnp.asarray(v), lens, None,
                                 scale=D ** -0.5)
-    kq, ks, kz = quantize_int4(jnp.asarray(k))
-    vq, vs, vz = quantize_int4(jnp.asarray(v))
+    kq, ks, kz = quantize_int4(jnp.asarray(k), pack="split")
+    vq, vs, vz = quantize_int4(jnp.asarray(v), pack="split")
     out = attn_ops.attend_blockwise_int4(q, kq, ks, kz, vq, vs, vz, lens, None,
                                          scale=D ** -0.5, kv_block=16)
     diff = np.abs(np.asarray(out) - np.asarray(ref)).max()
     assert diff < 0.15  # int4 quantization noise, not a wrong formula
     corr = np.corrcoef(np.asarray(out).ravel(), np.asarray(ref).ravel())[0, 1]
     assert corr > 0.99
+
+
+def test_int4_split_pack_roundtrip():
+    """TPU cache layout: element j in the high nibble, j+D/2 low."""
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    p, s, z = quantize_int4(jnp.asarray(x), pack="split")
+    out = dequantize_int4(p, s, z, jnp.float32, pack="split")
+    err = np.abs(np.asarray(out) - x).max()
+    assert err < float(np.asarray(s).max())
+    # split and pairs layouts decode to identical values
+    p2, s2, z2 = quantize_int4(jnp.asarray(x), pack="pairs")
+    out2 = dequantize_int4(p2, s2, z2, jnp.float32, pack="pairs")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
 
 
 def test_int8_linear_close():
