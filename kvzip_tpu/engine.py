@@ -214,6 +214,27 @@ class Engine:
             return "flash"
         return "dense" if state.cache.capacity <= 4096 else "blockwise"
 
+    def _check_capacity(self, state: KVState, need: int):
+        """Fail loudly instead of letting a clamped dynamic_update_slice
+        silently corrupt the cache tail."""
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV
+
+        cache = state.cache
+        if isinstance(cache, (FlatKV, FlatInt4KV)):
+            cap = cache.k_tail.shape[2]
+            cur = int(jax.device_get(cache.tail_len))
+            if cur + need > cap:
+                raise ValueError(
+                    f"query+generation needs {need} tail rows but only "
+                    f"{cap - cur} remain (decode_budget={cap}); raise "
+                    f"decode_budget or lower max_new_tokens")
+        else:
+            cur = int(jax.device_get(cache.lengths.max()))
+            if cur + need > cache.capacity:
+                raise ValueError(
+                    f"query+generation needs {need} rows beyond {cur} but "
+                    f"capacity is {cache.capacity}; raise decode_budget")
+
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
                         collect: str = "none") -> Optional[np.ndarray]:
         """Run ids through the model on the chunk ladder; maybe return logits."""
@@ -460,6 +481,7 @@ class Engine:
         """
         query_ids = self.encode(query) if isinstance(query, str) else np.asarray(query)
         max_new = max_new_tokens or self.max_new_tokens
+        self._check_capacity(state, len(query_ids) + max_new)
         state.snapshot()
 
         logits = self._forward_chunks(query_ids.astype(np.int32), state, "last")
