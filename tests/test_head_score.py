@@ -1,9 +1,12 @@
 """Head-level (context-independent) eviction: save → load → prune round trip
 (reference `test.py:22-25` + `model/wrapper.py:40-58`)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kvzip_tpu import prune as prune_lib
 from kvzip_tpu.config import tiny_config
@@ -51,6 +54,22 @@ def test_head_level_prune_drops_whole_heads(tmp_path):
     assert set(np.unique(ctx_rows)) <= {0, state2.ctx_len}
     kept_frac = (ctx_rows == state2.ctx_len).mean()
     assert 0.3 < kept_frac < 0.9
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/utils/head_score"),
+    reason="reference assets not mounted")
+def test_reads_reference_pt_assets():
+    """The reference's shipped .pt head scores load directly
+    (utils/head_score/*.pt, (L, H) per file — model/wrapper.py:40-58)."""
+    s = prune_lib.load_head_score(
+        "llama3.1-8b", 100,
+        search_dirs=["/root/reference/utils/head_score"])
+    assert s.shape == (32, 8, 100)  # llama3.1-8b: 32 layers, 8 kv heads
+    s2 = prune_lib.load_head_score(
+        "qwen2.5-7b", 50,
+        search_dirs=["/root/reference/utils/head_score"])
+    assert s2.shape == (28, 4, 50)
 
 
 def test_multi_file_amax_merge(tmp_path):
