@@ -252,9 +252,21 @@ def forward(
                     tail_len0, scale=scale, interpret=interp_flag)
         elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
-            attn_out = attn_ops.attend_blockwise_int4(
-                q, kq_a, ks_a, kz_a, vq_a, vs_a, vz_a, base_lens, valid_l,
-                scale=scale, q_pos0=q_pos0, window=win)
+            use_kernel = (attn_impl in ("flash", "flash_interpret")
+                          and T > 8 and ks_a.shape[-1] == 1
+                          and Dh % 128 == 0 and windows is None)
+            if use_kernel:
+                # int4 flash: packed blocks dequantized in-register
+                from kvzip_tpu.ops.flash_int4 import flash_attend_int4
+                attn_out = flash_attend_int4(
+                    q, kq_a, ks_a[..., 0], kz_a[..., 0], vq_a,
+                    vs_a[..., 0], vz_a[..., 0], base_lens, q_pos0,
+                    scale=scale,
+                    interpret=(attn_impl == "flash_interpret"))
+            else:
+                attn_out = attn_ops.attend_blockwise_int4(
+                    q, kq_a, ks_a, kz_a, vq_a, vs_a, vz_a, base_lens,
+                    valid_l, scale=scale, q_pos0=q_pos0, window=win)
         elif attn_impl in ("flash", "flash_interpret"):
             # Pallas kernels: stream only live KV (no valid-mask support —
             # the engine routes pruned-retain decode elsewhere). Small query
