@@ -23,6 +23,11 @@ from kvzip_tpu.models.transformer import forward
 
 
 def _pad_capacity(cache: KVCache, capacity: int) -> KVCache:
+    if not isinstance(cache, KVCache):
+        raise NotImplementedError(
+            "batched_generate currently supports dense KVCache states "
+            "(retain path or flat_decode='off'); flat/int4 batching is a "
+            "round-2 item")
     if cache.capacity == capacity:
         return cache
     extra = capacity - cache.capacity
