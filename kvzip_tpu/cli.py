@@ -278,6 +278,13 @@ def cmd_parse(args):
 
 
 def main(argv=None):
+    # KVZIP_PLATFORM=cpu forces the backend (env vars alone are ignored when
+    # a TPU plugin pins jax_platforms via config)
+    platform = os.environ.get("KVZIP_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     args = build_parser().parse_args(argv)
     {"test": cmd_test, "eval": cmd_eval, "demo": cmd_demo,
      "parse": cmd_parse}[args.cmd](args)
