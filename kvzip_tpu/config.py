@@ -184,6 +184,12 @@ PRESETS = {
         name="llama3.0-8b", vocab_size=128256, hidden_size=4096, intermediate_size=14336,
         num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128, rms_norm_eps=1e-5,
         rope=RopeConfig(theta=500000.0), family="llama"),
+    # DuoAttention baseline model (gradientai Llama-3-8B-Instruct-Gradient-1048k)
+    "duo": ModelConfig(
+        name="duo", vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        rms_norm_eps=1e-5, rope=RopeConfig(theta=3580165449.0),
+        max_position_embeddings=1048576, family="llama"),
     "qwen2.5-7b": ModelConfig(
         name="qwen2.5-7b", vocab_size=152064, hidden_size=3584, intermediate_size=18944,
         num_layers=28, num_heads=28, num_kv_heads=4, head_dim=128, rms_norm_eps=1e-6,
