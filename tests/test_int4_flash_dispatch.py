@@ -1,0 +1,33 @@
+"""The transformer's int4 prefill dispatch: flash_attend_int4 (interpret) for
+large chunks must agree with the jnp blockwise path end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kvzip_tpu.config import tiny_config
+from kvzip_tpu.engine import Engine
+
+CTX = "Dispatch check context sentence repeated for length. " * 40
+
+
+def build(attn_impl):
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    return Engine("tiny-llama", kv_type="evict", config=cfg,
+                  dtype=jnp.float32, max_new_tokens=4, decode_budget=256,
+                  capacity_granularity=256, score_chunk_size=256,
+                  kv_quant="int4", attn_impl=attn_impl, flat_decode="off")
+
+
+def test_int4_flash_prefill_matches_blockwise():
+    eng_k = build("flash_interpret")  # kernel path for chunks > 8 tokens
+    eng_b = build("blockwise")
+
+    st_k = eng_k.prefill(CTX, prefill_chunk_size=300, do_score=False)
+    st_b = eng_b.prefill(CTX, prefill_chunk_size=300, do_score=False)
+
+    q = eng_k.apply_template("What repeats?")
+    p_k = eng_k.prob(q, st_k)
+    p_b = eng_b.prob(q, st_b)
+    np.testing.assert_allclose(p_k, p_b, atol=3e-3, rtol=0)
