@@ -109,31 +109,46 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
 
 
 def main():
-    # default flagship: llama3.2-3b — head_dim 128 (Pallas flash path),
-    # 6.4 GB bf16 weights + 32k-ctx cache fit one v5e chip
-    model = os.environ.get("BENCH_MODEL", "llama3.2-3b")
-    ctx = int(os.environ.get("BENCH_CTX", 32768))
+    # Default flagship: the reference's headline scenario — a 7B W8A8+KV4
+    # model on a long context, where KV reads dominate decode (reference
+    # demo: 480k ctx on a large GPU; one 16 GB v5e chip fits 131k). Fallback
+    # config: llama3.2-3b bf16 at 32k (fast, robust).
+    configs = [
+        dict(model="qwen2.5-7b", ctx=131072, wq="w8a8", kq="int4"),
+        dict(model="llama3.2-3b", ctx=32768, wq="none", kq="none"),
+    ]
+    if "BENCH_MODEL" in os.environ or "BENCH_CTX" in os.environ:
+        configs = [dict(
+            model=os.environ.get("BENCH_MODEL", "llama3.2-3b"),
+            ctx=int(os.environ.get("BENCH_CTX", 32768)),
+            wq=os.environ.get("BENCH_WEIGHT_QUANT", "none"),
+            kq=os.environ.get("BENCH_KV_QUANT", "none"))]
     dec = int(os.environ.get("BENCH_DECODE", 64))
     ratio = float(os.environ.get("BENCH_RATIO", 0.3))
-    wq = os.environ.get("BENCH_WEIGHT_QUANT", "none")
-    kq = os.environ.get("BENCH_KV_QUANT", "none")
 
-    try:
-        r = run(model, ctx, dec, ratio, weight_quant=wq, kv_quant=kq)
-        # reference headline: 2.03x decode speedup at ratio 0.3 (demo.png)
-        out = {
-            "metric": f"decode tokens/s/chip post-eviction (r={ratio}, "
-                      f"{model}, {ctx} ctx); speedup vs full cache",
-            "value": round(r["toks_per_s"], 2),
-            "unit": "tokens/s",
-            "vs_baseline": round(r["speedup"] / 2.03, 3),
-            "detail": {k: round(v, 3) for k, v in r.items()},
-        }
-    except Exception as e:  # report failure as a JSON line, not a crash
-        import traceback
-        traceback.print_exc(file=sys.stderr)
-        out = {"metric": "bench failed", "value": 0, "unit": "",
-               "vs_baseline": 0, "error": str(e)}
+    out = None
+    for cfg_i in configs:
+        try:
+            r = run(cfg_i["model"], cfg_i["ctx"], dec, ratio,
+                    weight_quant=cfg_i["wq"], kv_quant=cfg_i["kq"])
+            tag = "".join(
+                f"+{v}" for v in (cfg_i["wq"], cfg_i["kq"]) if v != "none")
+            # reference headline: 2.03x decode speedup at ratio 0.3 (demo.png)
+            out = {
+                "metric": f"decode tokens/s/chip post-eviction (r={ratio}, "
+                          f"{cfg_i['model']}{tag}, {cfg_i['ctx']} ctx); "
+                          f"speedup vs full cache",
+                "value": round(r["toks_per_s"], 2),
+                "unit": "tokens/s",
+                "vs_baseline": round(r["speedup"] / 2.03, 3),
+                "detail": {k: round(v, 3) for k, v in r.items()},
+            }
+            break
+        except Exception as e:  # try the fallback config before giving up
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            out = {"metric": "bench failed", "value": 0, "unit": "",
+                   "vs_baseline": 0, "error": str(e)}
     print(json.dumps(out), flush=True)
 
 
