@@ -108,7 +108,7 @@ def flash_attend_int4(
     *,
     scale: float,
     block_q: int = 256,
-    block_km: int = 1024,
+    block_km: int = 512,   # 1024 overflows VMEM (unrolled dequant temps)
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
