@@ -238,12 +238,12 @@ class Engine:
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
                         collect: str = "none") -> Optional[np.ndarray]:
         """Run ids through the model on the chunk ladder; maybe return logits."""
-        from kvzip_tpu.cache import FlatKV
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV
 
         impl = self._impl(state)
         ladder = CHUNK_LADDER
-        if isinstance(state.cache, FlatKV):
-            ladder = (64, 16, 4, 1)  # flat kernel keeps q rows in VMEM
+        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
+            ladder = (64, 16, 4, 1)  # flat kernels keep q rows in VMEM
         logits_parts = []
         pos = 0
         for size in ladder_split(len(ids), ladder):
@@ -346,8 +346,14 @@ class Engine:
             return
 
         impl = self._impl(state)
+        # one extra window of slack: chunk offsets advance by score_chunk_size
+        # (2000) but each _place_scores write is score_width (2048) wide, so
+        # without the slack the last windows would exceed the buffer and
+        # dynamic_slice would silently clamp the start — overwriting earlier
+        # scores and zeroing the true tail (ADVICE r1, confirmed at ctx=131072)
         score = jnp.zeros(
-            (L, H, _round_up(max(state.ctx_len, 1), self.score_width)),
+            (L, H, _round_up(max(state.ctx_len, 1), self.score_width)
+             + self.score_width),
             jnp.float32)
         start = state.sink
         for a_ids, rep_ids in self.self_task(ctx_ids, self.score_chunk_size):
@@ -386,9 +392,9 @@ class Engine:
         `kvcache.py:123-185`).
         """
         assert state.score is not None, "run scoring() first"
-        from kvzip_tpu.cache import FlatKV
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV
 
-        if isinstance(state.cache, FlatKV):
+        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
             raise RuntimeError(
                 "evict-path prune is one-shot (the dense cache was compacted "
                 "away); use kv_type='retain' to sweep multiple ratios")

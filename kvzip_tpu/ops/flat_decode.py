@@ -29,6 +29,18 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _pick_block(R: int, block: int, rows: int) -> int:
+    """Key-block size: fits the (rows, BLK) fp32 score tile in ~6MB of VMEM
+    and divides R. Rounded DOWN to a power of two first — R is a multiple of
+    2048, so a non-power-of-two start (e.g. 768 = 6*128) could skip every
+    lane-aligned divisor and collapse to BLK=1 (ADVICE r1)."""
+    blk = min(block, max(128, (6 * 2 ** 20 // (4 * rows)) // 128 * 128))
+    blk = 1 << (blk.bit_length() - 1)
+    while R % blk and blk > 1:
+        blk //= 2
+    return blk
+
+
 def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
                  o_ref, m_scr, l_scr, acc_scr,
                  *, block: int, n_q: int, g: int, scale: float, dtype):
@@ -203,9 +215,7 @@ def flat_decode_attend_int4(
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
     R = k_flat_q.shape[0]
-    BLK = min(block, max(128, (6 * 2 ** 20 // (4 * H * T)) // 128 * 128))
-    while R % BLK:
-        BLK //= 2
+    BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
     q2 = q.transpose(1, 0, 2).reshape(H * T, D)
@@ -274,10 +284,7 @@ def flat_decode_attend(
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
     R = k_flat.shape[0]
-    # keep the (H*T, BLK) score tile within ~6MB of VMEM
-    BLK = min(block, max(128, (6 * 2 ** 20 // (4 * H * T)) // 128 * 128))
-    while R % BLK:
-        BLK //= 2
+    BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
     # q rows ordered head-major: r = h * T + i

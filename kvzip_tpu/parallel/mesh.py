@@ -82,12 +82,19 @@ def cache_pspecs() -> "P":
 
 
 def _trim(tree_specs: dict, tree: dict) -> dict:
-    """Keep only spec entries present in the actual pytree."""
+    """Keep only spec entries present in the actual pytree.
+
+    W8A8 weights are {"q": int8 (..., in, out), "s": (..., out)} dicts under
+    a leaf spec — expand the weight's spec onto the quantized form (scales
+    follow the output-channel axis, the spec's last dim)."""
     out = {}
     for k, v in tree.items():
         spec = tree_specs.get(k)
         if isinstance(v, dict):
-            out[k] = _trim(spec or {}, v)
+            if isinstance(spec, P) and set(v) == {"q", "s"}:
+                out[k] = {"q": spec, "s": P(*spec[:-2], spec[-1])}
+            else:
+                out[k] = _trim(spec or {}, v)
         else:
             out[k] = spec if spec is not None else P()
     return out
