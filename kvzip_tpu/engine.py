@@ -140,8 +140,15 @@ class Engine:
             import os as _os
             if _os.path.isdir(model_name) and _glob.glob(
                     _os.path.join(model_name, "*.safetensors")):
-                params = params_lib.load_hf_params(self.config, model_name,
-                                                   dtype)
+                if params_lib.checkpoint_is_w8a8(model_name):
+                    # QServe-style pre-quantized export (reference
+                    # `model/quant_model/w8a8kv4_llama.py:627-748`)
+                    params = params_lib.load_hf_params_w8a8(
+                        self.config, model_name, dtype)
+                    weight_quant = self.weight_quant = "w8a8"
+                else:
+                    params = params_lib.load_hf_params(
+                        self.config, model_name, dtype)
             elif weight_quant == "w8a8":
                 # quantized-form init: avoids the transient bf16 copy
                 params = params_lib.init_params_w8a8(

@@ -85,11 +85,8 @@ _LAYER_MAP = {
 }
 
 
-def load_hf_params(cfg: ModelConfig, ckpt_dir: str, dtype=jnp.bfloat16) -> Params:
-    """Convert a HuggingFace safetensors checkpoint directory to our pytree.
-
-    Supports the reference model zoo families (llama/qwen2/qwen3/gemma3 text).
-    """
+def _read_raw(ckpt_dir: str) -> Dict[str, np.ndarray]:
+    """Read every model tensor from a safetensors checkpoint directory."""
     from safetensors import safe_open
 
     files = sorted(glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
@@ -103,13 +100,40 @@ def load_hf_params(cfg: ModelConfig, ckpt_dir: str, dtype=jnp.bfloat16) -> Param
             for name in f.keys():
                 if name.startswith(wanted_prefixes):
                     raw[name.replace("language_model.", "")] = f.get_tensor(name)
+    return raw
+
+
+def _get_tensor(raw: Dict[str, np.ndarray], name: str):
+    t = raw[name]
+    if t.dtype == np.uint16:  # bfloat16 stored raw
+        t = t.view(np.uint16)
+        t = jnp.asarray(t).view(jnp.bfloat16)
+    return jnp.asarray(t)
+
+
+def checkpoint_is_w8a8(ckpt_dir: str) -> bool:
+    """True when the safetensors checkpoint stores pre-quantized int8
+    projection weights (QServe ``*-w8a8kv4-per-channel`` layout)."""
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
+    for path in files:
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                if name.endswith("_proj.weight"):
+                    return f.get_slice(name).get_dtype() in ("I8", "int8")
+    return False
+
+
+def load_hf_params(cfg: ModelConfig, ckpt_dir: str, dtype=jnp.bfloat16) -> Params:
+    """Convert a HuggingFace safetensors checkpoint directory to our pytree.
+
+    Supports the reference model zoo families (llama/qwen2/qwen3/gemma3 text).
+    """
+    raw = _read_raw(ckpt_dir)
 
     def get(name):
-        t = raw[name]
-        if t.dtype == np.uint16:  # bfloat16 stored raw
-            t = t.view(np.uint16)
-            t = jnp.asarray(t).view(jnp.bfloat16)
-        return jnp.asarray(t)
+        return _get_tensor(raw, name)
 
     L = cfg.num_layers
     layer_stacks: Dict[str, list] = {}
@@ -139,6 +163,96 @@ def load_hf_params(cfg: ModelConfig, ckpt_dir: str, dtype=jnp.bfloat16) -> Param
     # some checkpoints (gemma3, small qwen3) omit lm_head when tied
     if not cfg.tie_word_embeddings and "lm_head.weight" in raw:
         params["lm_head"] = get("lm_head.weight").astype(dtype)
+    return params
+
+
+# per-linear scale-tensor suffix aliases seen across QServe-style exports
+_W8A8_SCALE_SUFFIXES = ("dequant_scale", "weight_scale", "s1_scale", "scales")
+
+# HF proj name -> our stacked slot (weights land as {"q": int8, "s": f32})
+_W8A8_LAYER_MAP = {
+    "self_attn.q_proj": "wq",
+    "self_attn.k_proj": "wk",
+    "self_attn.v_proj": "wv",
+    "self_attn.o_proj": "wo",
+    "mlp.gate_proj": "w_gate",
+    "mlp.up_proj": "w_up",
+    "mlp.down_proj": "w_down",
+}
+
+# non-quantized tensors (kept fp16/bf16 by QServe — `w8a8kv4_llama.py`)
+_W8A8_FLOAT_MAP = {
+    "input_layernorm.weight": "ln_attn",
+    "post_attention_layernorm.weight": "ln_mlp",
+    "self_attn.q_proj.bias": "bq",
+    "self_attn.k_proj.bias": "bk",
+    "self_attn.v_proj.bias": "bv",
+}
+
+
+def load_hf_params_w8a8(cfg: ModelConfig, ckpt_dir: str,
+                        dtype=jnp.bfloat16) -> Params:
+    """Load a QServe-style pre-quantized W8A8 checkpoint.
+
+    Serves real ``*-w8a8kv4-per-channel`` exports (reference loads these via
+    `model/quant_model/w8a8kv4_llama.py:627-748`): per-linear ``.weight``
+    int8 ``(out, in)`` plus a per-output-channel dequant scale tensor
+    (suffix ``dequant_scale``/``weight_scale``/``s1_scale``/``scales``),
+    fp16/bf16 embeddings, norms and lm_head. Converted to our stacked
+    ``{"q": (L, in, out) int8, "s": (L, out) f32}`` layout. Unlike the
+    reference we do not need qkv/gate_up fusion at load time — the forward's
+    ``_lin`` dispatch consumes the per-projection stacks directly.
+    """
+    raw = _read_raw(ckpt_dir)
+    L = cfg.num_layers
+
+    def find_scale(prefix: str):
+        for suf in _W8A8_SCALE_SUFFIXES:
+            name = f"{prefix}.{suf}"
+            if name in raw:
+                return _get_tensor(raw, name)
+        raise KeyError(
+            f"no dequant scale for {prefix} (tried {_W8A8_SCALE_SUFFIXES})")
+
+    layer_stacks: Dict[str, list] = {}
+    for l in range(L):
+        prefix = f"model.layers.{l}."
+        for hf_name, slot in _W8A8_LAYER_MAP.items():
+            wname = f"{prefix}{hf_name}.weight"
+            if wname not in raw:
+                raise KeyError(f"missing {wname}")
+            w = _get_tensor(raw, wname)
+            assert w.dtype == jnp.int8, f"{wname}: expected int8, got {w.dtype}"
+            s = find_scale(prefix + hf_name).reshape(-1)
+            # HF stores (out, in); our matmul layout is (in, out)
+            assert s.shape[0] == w.shape[0], \
+                f"{wname}: scale len {s.shape[0]} != out dim {w.shape[0]}"
+            layer_stacks.setdefault(slot + ".q", []).append(w.T)
+            layer_stacks.setdefault(slot + ".s", []).append(
+                s.astype(jnp.float32))
+        for hf_name, slot in _W8A8_FLOAT_MAP.items():
+            name = prefix + hf_name
+            if name in raw:
+                layer_stacks.setdefault(slot, []).append(
+                    _get_tensor(raw, name))
+
+    layers: Dict[str, Any] = {}
+    for key, stack in layer_stacks.items():
+        arr = jnp.stack(stack)
+        if key.endswith(".q"):
+            layers.setdefault(key[:-2], {})["q"] = arr
+        elif key.endswith(".s"):
+            layers.setdefault(key[:-2], {})["s"] = arr
+        else:
+            layers[key] = arr.astype(dtype)
+
+    params: Params = {
+        "embed": _get_tensor(raw, "model.embed_tokens.weight").astype(dtype),
+        "layers": layers,
+        "final_norm": _get_tensor(raw, "model.norm.weight").astype(dtype),
+    }
+    if not cfg.tie_word_embeddings and "lm_head.weight" in raw:
+        params["lm_head"] = _get_tensor(raw, "lm_head.weight").astype(dtype)
     return params
 
 
