@@ -80,7 +80,15 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
             f"{1000 * dt / n:.2f} ms/tok")
         return dt / n
 
-    ms_full = bench_decode(state, "full")
+    # honest baseline (VERDICT r1): full-cache decode through the SAME flat
+    # layout/kernels as the evicted cache — every row live. Falls back to the
+    # dense ragged path where the flat view is unsupported (e.g. retain).
+    try:
+        state_full = eng.flatten_full(state)
+        ms_full = bench_decode(state_full, "full-flat")
+        del state_full
+    except Exception:
+        ms_full = bench_decode(state, "full")
 
     t0 = time.time()
     thres, true_ratio = eng.prune(state, ratio, "pair")

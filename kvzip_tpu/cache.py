@@ -131,8 +131,8 @@ class FlatKV:
     without any gather).
     """
 
-    k_flat: jax.Array    # (L, R_pad, D)
-    v_flat: jax.Array
+    k_flat: jax.Array    # (L, D, R_pad) — K TRANSPOSED (NN score matmul)
+    v_flat: jax.Array    # (L, R_pad, D)
     row_head: jax.Array  # (L, R_pad) int32
     k_tail: jax.Array    # (L, H_kv, T_cap, D)
     v_tail: jax.Array
@@ -142,7 +142,7 @@ class FlatKV:
 
     @property
     def capacity(self) -> int:
-        return self.k_flat.shape[1]
+        return self.k_flat.shape[2]
 
     @property
     def num_layers(self) -> int:
@@ -157,7 +157,7 @@ class FlatKV:
         return per * 2
 
     def used_bytes(self) -> float:
-        d = self.k_flat.shape[-1]
+        d = self.k_flat.shape[1]
         rows = int(jax.device_get(self.lengths).sum())
         return float(rows * d * self.k_flat.dtype.itemsize * 2)
 
@@ -199,7 +199,7 @@ def build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
     row_head = jnp.where(kept_flags, (take // C).astype(jnp.int32), -1)
 
     return FlatKV(
-        k_flat=k_flat, v_flat=v_flat, row_head=row_head,
+        k_flat=k_flat.transpose(0, 2, 1), v_flat=v_flat, row_head=row_head,
         k_tail=jnp.zeros((L, H, tail_cap, D), cache.k.dtype),
         v_tail=jnp.zeros((L, H, tail_cap, D), cache.k.dtype),
         lengths=keep_full.sum(axis=-1).astype(jnp.int32),
@@ -219,8 +219,8 @@ class FlatInt4KV:
     tail (query/answer KV) stays bf16 — it is tiny and quality-critical.
     """
 
-    k_flat_q: jax.Array  # (L, R_pad, D//2) uint8
-    v_flat_q: jax.Array
+    k_flat_q: jax.Array  # (L, D//2, R_pad) uint8 — K nibbles TRANSPOSED
+    v_flat_q: jax.Array  # (L, R_pad, D//2) uint8
     k_flat_s: jax.Array  # (L, R_pad) scales
     k_flat_z: jax.Array  # (L, R_pad) zero points
     v_flat_s: jax.Array
@@ -234,7 +234,7 @@ class FlatInt4KV:
 
     @property
     def capacity(self) -> int:
-        return self.k_flat_q.shape[1]
+        return self.k_flat_q.shape[2]
 
     @property
     def num_layers(self) -> int:
@@ -251,7 +251,7 @@ class FlatInt4KV:
         return (ctx + tail) * 2
 
     def used_bytes(self) -> float:
-        d = self.k_flat_q.shape[-1]
+        d = self.k_flat_q.shape[1]
         bytes_per_row = d + 2 * self.k_flat_s.dtype.itemsize
         rows = int(jax.device_get(self.lengths).sum())
         return float(rows * bytes_per_row * 2)
@@ -283,7 +283,8 @@ def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
         return jnp.where(kept[..., None], out, 0)
 
     return FlatInt4KV(
-        k_flat_q=gather3(cache.k_q), v_flat_q=gather3(cache.v_q),
+        k_flat_q=gather3(cache.k_q).transpose(0, 2, 1),
+        v_flat_q=gather3(cache.v_q),
         k_flat_s=gather3(cache.k_s)[..., 0], k_flat_z=gather3(cache.k_z)[..., 0],
         v_flat_s=gather3(cache.v_s)[..., 0], v_flat_z=gather3(cache.v_z)[..., 0],
         row_head=jnp.where(kept, (take // C).astype(jnp.int32), -1),

@@ -425,9 +425,12 @@ class Engine:
                                              build_flat_int4)
 
                 per_layer = np.asarray(jax.device_get(keep.sum(axis=(1, 2))))
+                # 8192 granularity: lets the flat kernels run 8192-row blocks
+                # (fewer grid steps against the 2-4 us/step floor) and buckets
+                # r_pad coarsely so prune() recompiles less across ctx lengths
                 r_pad = _round_up(
                     int(per_layer.max())
-                    + state.sink * self.config.num_kv_heads, 2048)
+                    + state.sink * self.config.num_kv_heads, 8192)
                 if isinstance(state.cache, Int4KVCache):
                     state.cache = build_flat_int4(
                         state.cache, keep, state.sink, r_pad,
@@ -447,6 +450,33 @@ class Engine:
         state.pruned = True
         state.snapshot()
         return thres, true_ratio
+
+    def flatten_full(self, state: KVState) -> KVState:
+        """Flat-view the FULL dense cache (keep every context row).
+
+        The honest full-cache decode baseline (VERDICT r1 item 2): the
+        baseline decode reads the same flat layout through the same Pallas
+        kernels as the evicted cache — just with every row live — so the
+        reported speedup isolates eviction, not kernel quality. Returns a
+        NEW KVState; the input state and its dense cache are untouched.
+        """
+        from kvzip_tpu.cache import (FlatInt4KV, FlatKV, Int4KVCache,
+                                     build_flat, build_flat_int4)
+
+        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
+            raise RuntimeError("cache is already flat")
+        L, H = self.config.num_layers, self.config.num_kv_heads
+        keep = jnp.ones((L, H, state.ctx_len), bool)
+        r_pad = _round_up(H * (state.ctx_len + state.sink), 8192)
+        if isinstance(state.cache, Int4KVCache):
+            cache = build_flat_int4(state.cache, keep, state.sink, r_pad,
+                                    self.decode_budget, self.dtype)
+        else:
+            cache = build_flat(state.cache, keep, state.sink, r_pad,
+                               self.decode_budget)
+        new_state = dataclasses.replace(state, cache=cache, pruned=True)
+        new_state.snapshot()
+        return new_state
 
     # -------------------------------------------------------------- generate
     def _decode_loop(self, max_steps: int, capacity: int, impl: str):

@@ -72,6 +72,18 @@ def _lin(x: jax.Array, w, bias=None) -> jax.Array:
     return y
 
 
+def _lin_shared(x: jax.Array, weights, biases) -> list:
+    """Several projections of ONE activation: quantize it once (W8A8) —
+    the act-quant fusion the reference does inside RMSNorm/SiLU-mul
+    (`w8a8kv4_llama.py:126-163`), here as a shared pre-quantization."""
+    if isinstance(weights[0], dict):
+        from kvzip_tpu.ops.quant import int8_matmul, quantize_act_int8
+        xq, xs = quantize_act_int8(x)
+        return [int8_matmul(xq, xs, w["q"], w["s"], b, x.dtype)
+                for w, b in zip(weights, biases)]
+    return [_lin(x, w, b) for w, b in zip(weights, biases)]
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -150,9 +162,10 @@ def forward(
 
         h = rms_norm(x, layer_params["ln_attn"], cfg.rms_norm_eps,
                      gemma=cfg.gemma_style_norm)
-        q = _lin(h, layer_params["wq"], layer_params.get("bq"))
-        k = _lin(h, layer_params["wk"], layer_params.get("bk"))
-        v = _lin(h, layer_params["wv"], layer_params.get("bv"))
+        q, k, v = _lin_shared(
+            h, (layer_params["wq"], layer_params["wk"], layer_params["wv"]),
+            (layer_params.get("bq"), layer_params.get("bk"),
+             layer_params.get("bv")))
         q = q.reshape(T, H, Dh)
         k = k.reshape(T, Hkv, Dh)
         v = v.reshape(T, Hkv, Dh)
@@ -299,8 +312,9 @@ def forward(
 
         h2 = rms_norm(x, layer_params["ln_mlp"], cfg.rms_norm_eps,
                       gemma=cfg.gemma_style_norm)
-        mlp = _lin(_act(_lin(h2, layer_params["w_gate"]), cfg.hidden_act)
-                   * _lin(h2, layer_params["w_up"]), layer_params["w_down"])
+        gate, up = _lin_shared(
+            h2, (layer_params["w_gate"], layer_params["w_up"]), (None, None))
+        mlp = _lin(_act(gate, cfg.hidden_act) * up, layer_params["w_down"])
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer_params["ln_post_mlp"], cfg.rms_norm_eps,
                            gemma=cfg.gemma_style_norm)

@@ -4,10 +4,13 @@ After KVzip eviction the context KV is FROZEN (only query/answer KV is ever
 appended, and it is dropped again after each generation —
 `model/wrapper.py:276-284`). That makes a two-part layout optimal on TPU:
 
-- ``k_flat/v_flat (R_pad, D)``: every head's kept rows concatenated densely
-  (reference ``prepare_init`` builds the same flattened view for varlen
-  flash-attn, `attention/kvcache.py:152-185`) with a per-row ``row_head`` id;
-  pad rows carry head id -1 and can never match a query.
+- flat context: every head's kept rows concatenated densely (reference
+  ``prepare_init`` builds the same flattened view for varlen flash-attn,
+  `attention/kvcache.py:152-185`) with a per-row ``row_head`` id; pad rows
+  carry head id -1 and can never match a query. **K is stored transposed**
+  ``(D, R_pad)`` so the score matmul contracts q's minor dim against K's
+  major dim — the MXU-friendly NN orientation (the NT orientation, minor
+  contracting with minor, hits a Mosaic slow path ~7x off peak on v5e).
 - ``k_tail/v_tail (H_kv, T_cap, D)``: a small static append buffer for the
   query + generated tokens; O(1) snapshot/restore by resetting its length.
 
@@ -15,6 +18,18 @@ Decode attention then reads exactly ``sum_h len_h`` rows (the true compressed
 footprint — not the per-head-padded capacity), with a tiny grid and trivial
 index maps: the kernel streams flat blocks, masks rows by head-id match, and
 folds the whole tail in at the last grid step.
+
+The INT4 variant never materializes dequantized K/V tiles. With per-row
+scale/zero (``x = n*s_r + z_r``, nibbles n in [0,15]) the algebra folds the
+quant params out of the matmuls:
+
+- scores:  ``q . x_r = s_r * (q . n_r) + z_r * sum(q)`` — one matmul against
+  the raw nibbles, then a column scale + rank-1 zero-point correction.
+- output:  ``sum_r p_r x_r = (p * s) @ n + (sum_r p_r z_r)`` — scale the
+  probabilities instead of the values, plus a scalar-per-query correction.
+
+This removes the per-block dequant chains (shift/mask/scale/add over the
+whole tile) that dominated the v1 kernel and keeps both matmuls NN.
 """
 
 from __future__ import annotations
@@ -30,11 +45,12 @@ NEG_INF = float("-inf")
 
 
 def _pick_block(R: int, block: int, rows: int) -> int:
-    """Key-block size: fits the (rows, BLK) fp32 score tile in ~6MB of VMEM
-    and divides R. Rounded DOWN to a power of two first — R is a multiple of
-    2048, so a non-power-of-two start (e.g. 768 = 6*128) could skip every
-    lane-aligned divisor and collapse to BLK=1 (ADVICE r1)."""
-    blk = min(block, max(128, (6 * 2 ** 20 // (4 * rows)) // 128 * 128))
+    """Key-block size: fits the (rows, BLK) fp32 score tile (and its exp/
+    matmul temporaries) in ~4MB of VMEM and divides R. Rounded DOWN to a
+    power of two first — R is a multiple of a power of two, so a
+    non-power-of-two start could skip every lane-aligned divisor and
+    collapse to BLK=1 (ADVICE r1)."""
+    blk = min(block, max(128, (4 * 2 ** 20 // (4 * rows)) // 128 * 128))
     blk = 1 << (blk.bit_length() - 1)
     while R % blk and blk > 1:
         blk //= 2
@@ -62,25 +78,20 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
     # kv head of each q row: r -> (r // n_q) // g
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (HT, 1), 0)
     q_kvhead = (r_ids // n_q) // g  # (HT, 1)
-    q_idx = r_ids % n_q
 
-    def online_update(s, mask):
-        s = jnp.where(mask, s, NEG_INF)
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
-        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_scr[...] = m_new
-        return p, alpha
-
-    # ---- flat context block ----
+    # ---- flat context block (K transposed: (D, BLK) -> NN matmul) ----
     s = jax.lax.dot_general(
-        q, kf_ref[...], (((1,), (1,)), ((), ())),
+        q, kf_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (HT, block)
     rh = rh_ref[...]  # (1, block) head id per flat row (-1 pad)
     mask = rh == q_kvhead
-    p, alpha = online_update(s, mask)
+    s = jnp.where(mask, s, NEG_INF)
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+    p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = m_new
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
         p.astype(vf_ref.dtype), vf_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -119,8 +130,12 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
                       vq_ref, vs_ref, vz_ref, kt_ref, vt_ref,
                       o_ref, m_scr, l_scr, acc_scr,
                       *, block: int, n_q: int, g: int, scale: float, dtype):
-    """INT4-context variant: dequantize each flat tile in-register (split
-    packing: element j high nibble, j+D/2 low; one scale/zero per row)."""
+    """INT4-context variant. K nibbles arrive transposed ``(D//2, BLK)``
+    (byte j packs element j in the high nibble, j + D/2 in the low — split
+    packing), V row-major ``(BLK, D//2)``. Both matmuls run against the raw
+    nibble values; scale/zero are applied as column scalings + rank-1
+    corrections (see module docstring), so no dequantized tile is ever
+    built."""
     kb = pl.program_id(0)
     nb = pl.num_programs(0)
     HT, D = q_ref.shape
@@ -137,23 +152,18 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     q = q_ref[...]
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (HT, 1), 0)
     q_kvhead = (r_ids // n_q) // g
-    q_idx = r_ids % n_q
+    qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # (HT, 1)
 
-    def dequant(p_ref, s_ref, z_ref):
-        pi = p_ref[...].astype(jnp.int32)
-        hi = (pi >> 4).astype(jnp.float32)
-        lo = (pi & 0xF).astype(jnp.float32)
-        x = jnp.concatenate([hi, lo], axis=-1)  # (block, D)
-        s = s_ref[...].reshape(block, 1).astype(jnp.float32)
-        z = z_ref[...].reshape(block, 1).astype(jnp.float32)
-        return (x * s + z).astype(q.dtype)
+    # ---- scores: q @ nibbles (NN), then column scale + zero correction ----
+    kpi = kq_ref[...].astype(jnp.int32)           # (D//2, BLK) packed
+    kn = jnp.concatenate([kpi >> 4, kpi & 0xF], axis=0).astype(q.dtype)
+    qn = jax.lax.dot_general(
+        q, kn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (HT, BLK)
+    ks = ks_ref[...]                               # (1, BLK) f32
+    kz = kz_ref[...]
+    s = (qn * ks + qsum * kz) * scale
 
-    k_blk = dequant(kq_ref, ks_ref, kz_ref)
-    v_blk = dequant(vq_ref, vs_ref, vz_ref)
-
-    s = jax.lax.dot_general(
-        q, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
     mask = rh_ref[...] == q_kvhead
     s = jnp.where(mask, s, NEG_INF)
     m_prev = m_scr[...]
@@ -161,10 +171,16 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
     p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
     l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
     m_scr[...] = m_new
+
+    # ---- output: (p * s_v) @ nibbles (NN) + zero correction ----
+    vpi = vq_ref[...].astype(jnp.int32)            # (BLK, D//2) packed
+    vn = jnp.concatenate([vpi >> 4, vpi & 0xF], axis=1).astype(q.dtype)
+    ps = (p * vs_ref[...]).astype(q.dtype)         # (HT, BLK)
+    pz = jnp.sum(p * vz_ref[...], axis=1, keepdims=True)  # (HT, 1) f32
+    acc_scr[...] = (acc_scr[...] * alpha + pz + jax.lax.dot_general(
+        ps, vn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32))
 
     @pl.when(kb == nb - 1)
     def _():
@@ -196,10 +212,10 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     jax.jit, static_argnames=("scale", "block", "interpret"))
 def flat_decode_attend_int4(
     q: jax.Array,          # (T, H, D)
-    k_flat_q: jax.Array,   # (R_pad, D//2) uint8
+    k_flat_q: jax.Array,   # (D//2, R_pad) uint8 — TRANSPOSED nibbles
     k_flat_s: jax.Array,   # (R_pad,)
     k_flat_z: jax.Array,
-    v_flat_q: jax.Array,
+    v_flat_q: jax.Array,   # (R_pad, D//2) uint8
     v_flat_s: jax.Array,
     v_flat_z: jax.Array,
     row_head: jax.Array,   # (R_pad,) int32
@@ -208,13 +224,13 @@ def flat_decode_attend_int4(
     tail_len: jax.Array,
     *,
     scale: float,
-    block: int = 2048,
+    block: int = 8192,
     interpret: bool = False,
 ) -> jax.Array:
     T, H, D = q.shape
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
-    R = k_flat_q.shape[0]
+    R = k_flat_q.shape[1]
     BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
@@ -230,7 +246,7 @@ def flat_decode_attend_int4(
         in_specs=[
             pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
             pl.BlockSpec((1, BLK), blk1),
-            pl.BlockSpec((BLK, D // 2), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((D // 2, BLK), blk1),
             pl.BlockSpec((1, BLK), blk1),
             pl.BlockSpec((1, BLK), blk1),
             pl.BlockSpec((BLK, D // 2), lambda kb, m: (kb, 0)),
@@ -269,21 +285,21 @@ def flat_decode_attend_int4(
     jax.jit, static_argnames=("scale", "block", "interpret"))
 def flat_decode_attend(
     q: jax.Array,          # (T, H, D), T <= ~64
-    k_flat: jax.Array,     # (R_pad, D)
-    v_flat: jax.Array,
+    k_flat: jax.Array,     # (D, R_pad) — TRANSPOSED
+    v_flat: jax.Array,     # (R_pad, D)
     row_head: jax.Array,   # (R_pad,) int32, -1 on padding
     k_tail: jax.Array,     # (Hkv, T_cap, D) — includes this block's appended rows
     v_tail: jax.Array,
     tail_len: jax.Array,   # () int32 — tail rows before this block's append
     *,
     scale: float,
-    block: int = 2048,
+    block: int = 8192,
     interpret: bool = False,
 ) -> jax.Array:
     T, H, D = q.shape
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
-    R = k_flat.shape[0]
+    R = k_flat.shape[1]
     BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
@@ -297,7 +313,7 @@ def flat_decode_attend(
         in_specs=[
             pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
             pl.BlockSpec((1, BLK), lambda kb, m: (0, kb)),
-            pl.BlockSpec((BLK, D), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((D, BLK), lambda kb, m: (0, kb)),
             pl.BlockSpec((BLK, D), lambda kb, m: (kb, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),

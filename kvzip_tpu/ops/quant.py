@@ -80,21 +80,39 @@ def quantize_weight_int8(w: jax.Array) -> dict:
     return {"q": q, "s": s.astype(jnp.float32)}
 
 
+def quantize_act_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-token symmetric int8 activation quant.
+
+    Factored out of the matmul so one quantization feeds several projections
+    (reference fuses this into RMSNorm / SiLU-mul precisely to avoid repeated
+    activation passes, `w8a8kv4_llama.py:126-163`): qkv share one, gate/up
+    share one.
+    """
+    xf = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + EPS
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+def int8_matmul(xq: jax.Array, xs: jax.Array, wq: jax.Array, ws: jax.Array,
+                bias=None, out_dtype=jnp.bfloat16) -> jax.Array:
+    """int8 x int8 -> int32 MXU matmul with pre-quantized activations."""
+    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * xs * ws[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
 def int8_linear(x: jax.Array, wq: jax.Array, ws: jax.Array,
                 bias=None) -> jax.Array:
     """Dynamic per-token activation quant + int8 MXU matmul.
 
     x (T, in) any float dtype; wq (in, out) int8; ws (out,) f32.
     """
-    xf = x.astype(jnp.float32)
-    xs = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0 + EPS
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * xs * ws[None, :]
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+    xq, xs = quantize_act_int8(x)
+    return int8_matmul(xq, xs, wq, ws, bias, x.dtype)
 
 
 def quantize_params_w8a8(params: dict) -> dict:

@@ -60,7 +60,7 @@ def test_flat_kernel_matches_dense(T):
         r += lens[h]
 
     got = flat_decode_attend(
-        q, jnp.asarray(k_flat), jnp.asarray(v_flat), jnp.asarray(row_head),
+        q, jnp.asarray(k_flat.T), jnp.asarray(v_flat), jnp.asarray(row_head),
         jnp.asarray(k_tail), jnp.asarray(v_tail),
         jnp.asarray(tail_used, jnp.int32), scale=D ** -0.5, block=16,
         interpret=True)
@@ -97,9 +97,33 @@ def test_build_flat_structure():
                          if j < sink or keep_np[l, h, j - sink]]
             for j in kept_rows:
                 assert rh[l, r] == h
-                np.testing.assert_allclose(kf[l, r], k_np[l, h, j])
+                np.testing.assert_allclose(kf[l, :, r], k_np[l, h, j])
                 r += 1
         assert (rh[l, r:] == -1).all()
+
+
+def test_flatten_full_matches_dense():
+    """Full-cache flat view (honest baseline) ≡ dense full-cache decode."""
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=6, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, flat_decode="on")
+    st = eng.prefill(CTX, prefill_chunk_size=300, do_score=False)
+    st_full = eng.flatten_full(st)
+
+    from kvzip_tpu.cache import FlatKV
+
+    assert isinstance(st_full.cache, FlatKV)
+    # all rows live: per-head lengths = sink + ctx_len
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(st_full.cache.lengths)),
+        st.sink + st.ctx_len)
+
+    q = eng.apply_template("What is the hidden token?")
+    p_dense = eng.prob(q, st)
+    p_flat = eng.prob(q, st_full)
+    np.testing.assert_allclose(p_flat, p_dense, atol=3e-3, rtol=0)
 
 
 def test_flat_engine_end_to_end():

@@ -31,7 +31,7 @@ from kvzip_tpu.models.transformer import forward, rms_norm
 from kvzip_tpu.ops.flat_decode import flat_decode_attend_int4
 from kvzip_tpu.ops.quant import int8_linear
 
-R_PAD = 157696          # 4 heads x 39321 kept rows (+sink), rounded to 2048
+R_PAD = 163840          # 4 heads x 39321 kept rows (+sink), rounded to 8192
 CTX = 131072
 TAIL_CAP = 320
 STEPS = 64
@@ -68,7 +68,7 @@ def main():
     rows_per_head = R_PAD // Hkv
     row_head = np.repeat(np.arange(Hkv, dtype=np.int32), rows_per_head)
     cache = FlatInt4KV(
-        k_flat_q=jax.random.randint(key, (L, R_PAD, D // 2), 0, 255,
+        k_flat_q=jax.random.randint(key, (L, D // 2, R_PAD), 0, 255,
                                     jnp.uint8),
         v_flat_q=jax.random.randint(key, (L, R_PAD, D // 2), 0, 255,
                                     jnp.uint8),
