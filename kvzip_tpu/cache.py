@@ -83,8 +83,8 @@ class Int4KVCache:
     instead of whole-cache-to-fp16 (`int4_kv.py:242-267`).
     """
 
-    k_q: jax.Array          # (L, H_kv, C, D//2) uint8 packed
-    v_q: jax.Array
+    k_q: jax.Array          # (L, H_kv, D//2, C) uint8 packed — TRANSPOSED
+    v_q: jax.Array          # (L, H_kv, D//2, C) uint8 packed — TRANSPOSED
     k_s: jax.Array          # (L, H_kv, C, D//G) scales
     k_z: jax.Array          # (L, H_kv, C, D//G) zero points
     v_s: jax.Array
@@ -95,7 +95,7 @@ class Int4KVCache:
 
     @property
     def capacity(self) -> int:
-        return self.k_q.shape[2]
+        return self.k_s.shape[2]
 
     @property
     def num_layers(self) -> int:
@@ -111,7 +111,7 @@ class Int4KVCache:
         return per * 2
 
     def used_bytes(self) -> float:
-        bytes_per_row = (self.k_q.shape[-1] * self.k_q.dtype.itemsize
+        bytes_per_row = (self.k_q.shape[-2] * self.k_q.dtype.itemsize
                          + 2 * self.k_s.shape[-1] * self.k_s.dtype.itemsize)
         rows = int(jax.device_get(self.lengths).sum())
         return float(rows * bytes_per_row * 2)
@@ -260,8 +260,10 @@ class FlatInt4KV:
 def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
                     r_pad: int, tail_cap: int, dtype=jnp.bfloat16) -> FlatInt4KV:
     """Compact an INT4 cache into the flat decode layout (packed rows move
-    verbatim — no requantization)."""
-    L, H, C, Dp = cache.k_q.shape
+    verbatim — no requantization). K nibbles are already transposed in the
+    dense cache, so the K gather lands directly in the flat transposed
+    layout."""
+    L, H, Dp, C = cache.k_q.shape
     assert cache.k_s.shape[-1] == 1, "flat int4 needs one quant group per row"
     ctx_len = keep.shape[-1]
 
@@ -282,15 +284,120 @@ def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
                                   take[..., None], axis=1)
         return jnp.where(kept[..., None], out, 0)
 
+    def gather_kt(a):
+        # a (L, H, Dp, C): flat row r comes from head take[r]//C, col
+        # take[r]%C — gather columns of the (Dp, H*C) view
+        av = a.transpose(0, 2, 1, 3).reshape(L, Dp, H * C)
+        out = jnp.take_along_axis(av, take[:, None, :], axis=2)
+        return jnp.where(kept[:, None, :], out, 0)
+
     return FlatInt4KV(
-        k_flat_q=gather3(cache.k_q).transpose(0, 2, 1),
-        v_flat_q=gather3(cache.v_q),
-        k_flat_s=gather3(cache.k_s)[..., 0], k_flat_z=gather3(cache.k_z)[..., 0],
-        v_flat_s=gather3(cache.v_s)[..., 0], v_flat_z=gather3(cache.v_z)[..., 0],
+        k_flat_q=gather_kt(cache.k_q),
+        # the flat decode kernel streams V row-major (pipelined blocks);
+        # one materialized transpose at prune time
+        v_flat_q=gather_kt(cache.v_q).transpose(0, 2, 1),
+        # scales/zeros stored f32: the decode kernel consumes f32 rows, so
+        # storing bf16 would re-cast 4 (R,) arrays per layer every step
+        k_flat_s=gather3(cache.k_s)[..., 0].astype(jnp.float32),
+        k_flat_z=gather3(cache.k_z)[..., 0].astype(jnp.float32),
+        v_flat_s=gather3(cache.v_s)[..., 0].astype(jnp.float32),
+        v_flat_z=gather3(cache.v_z)[..., 0].astype(jnp.float32),
         row_head=jnp.where(kept, (take // C).astype(jnp.int32), -1),
         k_tail=jnp.zeros((L, H, tail_cap, Dp * 2), dtype),
         v_tail=jnp.zeros((L, H, tail_cap, Dp * 2), dtype),
         lengths=keep_full.sum(axis=-1).astype(jnp.int32),
+        tail_len=jnp.zeros((), jnp.int32),
+        seen=cache.seen,
+    )
+
+
+def refold_flat(cache, r_pad_new: int):
+    """Fold the tail (query/answer KV of committed multi-turn rounds) into
+    the flat context so the tail buffer empties and decoding can continue.
+
+    The reference supports unbounded ``update_cache=True`` turns by
+    re-gathering the flattened cache (`attention/kvcache.py:82-106`); here
+    the equivalent is one stable sort + gather per layer appending each
+    head's tail rows after its flat segment. For the INT4 cache the folded
+    tail rows are quantized like every other context row (the reference's
+    quantized cache quantizes on write, `int4_kv.py:100-267`).
+
+    r_pad_new: static padded row count >= max over layers of
+    (kept rows + H_kv * tail_len), a multiple of the kernel block bucket.
+    """
+    from kvzip_tpu.ops.quant import quantize_int4
+
+    is_int4 = isinstance(cache, FlatInt4KV)
+    L = cache.num_layers
+    H = cache.num_kv_heads
+    Tcap = cache.k_tail.shape[2]
+    R = cache.capacity
+    D = cache.k_tail.shape[3]
+    tail_len = cache.tail_len  # () int32 traced ok
+
+    BIG = jnp.int32(2 ** 30)
+    # sort keys: head id, flat rows before tail rows (stable), pads last
+    key_flat = jnp.where(cache.row_head >= 0, cache.row_head, BIG)  # (L, R)
+    t_head = jnp.repeat(jnp.arange(H, dtype=jnp.int32), Tcap)       # (H*Tcap,)
+    t_pos = jnp.tile(jnp.arange(Tcap, dtype=jnp.int32), H)
+    key_tail = jnp.where(t_pos < tail_len, t_head, BIG)             # (H*Tcap,)
+    keys_all = jnp.concatenate(
+        [key_flat, jnp.broadcast_to(key_tail, (L, H * Tcap))], axis=1)
+    order = jnp.argsort(keys_all, axis=-1, stable=True)
+    take = order[:, :r_pad_new]                                     # (L, R')
+    kept = jnp.take_along_axis(keys_all, take, axis=1) < BIG
+    row_head_new = jnp.where(
+        kept, jnp.take_along_axis(keys_all, take, axis=1).astype(jnp.int32),
+        -1)
+
+    def cat_rows(flat_rows, tail):  # (L, R, W) + (L, H, Tcap, W) -> gather
+        allr = jnp.concatenate(
+            [flat_rows, tail.reshape(L, H * Tcap, tail.shape[-1])], axis=1)
+        out = jnp.take_along_axis(allr, take[..., None], axis=1)
+        return jnp.where(kept[..., None], out, 0)
+
+    def cat_cols(flat_cols, tail_rows):  # (L, W, R) + (L, H*Tcap, W) -> cols
+        allc = jnp.concatenate(
+            [flat_cols, tail_rows.transpose(0, 2, 1)], axis=2)
+        out = jnp.take_along_axis(allc, take[:, None, :], axis=2)
+        return jnp.where(kept[:, None, :], out, 0)
+
+    lengths_new = cache.lengths + tail_len
+    if not is_int4:
+        return FlatKV(
+            k_flat=cat_cols(cache.k_flat,
+                            cache.k_tail.reshape(L, H * Tcap, D)),
+            v_flat=cat_rows(cache.v_flat, cache.v_tail),
+            row_head=row_head_new,
+            k_tail=jnp.zeros_like(cache.k_tail),
+            v_tail=jnp.zeros_like(cache.v_tail),
+            lengths=lengths_new,
+            tail_len=jnp.zeros((), jnp.int32),
+            seen=cache.seen,
+        )
+
+    ktq, kts, ktz = quantize_int4(
+        cache.k_tail.reshape(L, H * Tcap, D), pack="split")
+    vtq, vts, vtz = quantize_int4(
+        cache.v_tail.reshape(L, H * Tcap, D), pack="split")
+
+    def cat1(flat_sz, tail_sz):  # (L, R) + (L, H*Tcap) scale rows
+        allr = jnp.concatenate(
+            [flat_sz, tail_sz[..., 0].astype(jnp.float32)], axis=1)
+        out = jnp.take_along_axis(allr, take, axis=1)
+        return jnp.where(kept, out, 0)
+
+    return FlatInt4KV(
+        k_flat_q=cat_cols(cache.k_flat_q, ktq),
+        v_flat_q=cat_rows(cache.v_flat_q, vtq),
+        k_flat_s=cat1(cache.k_flat_s, kts),
+        k_flat_z=cat1(cache.k_flat_z, ktz),
+        v_flat_s=cat1(cache.v_flat_s, vts),
+        v_flat_z=cat1(cache.v_flat_z, vtz),
+        row_head=row_head_new,
+        k_tail=jnp.zeros_like(cache.k_tail),
+        v_tail=jnp.zeros_like(cache.v_tail),
+        lengths=lengths_new,
         tail_len=jnp.zeros((), jnp.int32),
         seen=cache.seen,
     )
@@ -312,8 +419,12 @@ def init_int4_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16,
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     G = max(D // min(group_size, D), 1)
     return Int4KVCache(
-        k_q=jnp.zeros((L, H, capacity, D // 2), jnp.uint8),
-        v_q=jnp.zeros((L, H, capacity, D // 2), jnp.uint8),
+        # K and V nibbles live transposed (D//2, C): the flash-int4 score
+        # matmul contracts q's minor dim against K's major dim (NN — the
+        # bf16 NT minor x minor contraction is a ~7x Mosaic slow path on
+        # v5e), and a row-major (BK, 64) uint8 manual DMA does not compile
+        k_q=jnp.zeros((L, H, D // 2, capacity), jnp.uint8),
+        v_q=jnp.zeros((L, H, D // 2, capacity), jnp.uint8),
         k_s=jnp.zeros((L, H, capacity, G), dtype),
         k_z=jnp.zeros((L, H, capacity, G), dtype),
         v_s=jnp.zeros((L, H, capacity, G), dtype),
@@ -363,8 +474,13 @@ def append_layer_int4(cache_arrays: tuple, lens: jax.Array,
     def upd(cache_h, new_h, len_h):
         return jax.lax.dynamic_update_slice(cache_h, new_h, (len_h, 0))
 
-    out = []
-    for cache_arr, new in ((k_q, kq), (v_q, vq), (k_s, ks.astype(k_s.dtype)),
+    def upd_t(cache_h, new_h, len_h):
+        # K/V nibbles stored transposed (D//2, C): append writes columns
+        return jax.lax.dynamic_update_slice(cache_h, new_h, (0, len_h))
+
+    out = [jax.vmap(upd_t)(k_q, jnp.swapaxes(kq, 1, 2), lens),
+           jax.vmap(upd_t)(v_q, jnp.swapaxes(vq, 1, 2), lens)]
+    for cache_arr, new in ((k_s, ks.astype(k_s.dtype)),
                            (k_z, kz.astype(k_z.dtype)),
                            (v_s, vs.astype(v_s.dtype)),
                            (v_z, vz.astype(v_z.dtype))):
@@ -432,8 +548,13 @@ def compact(cache: KVCache, keep: jax.Array, sink: int, new_capacity: int,
     common = dict(lengths=new_lens, seen=cache.seen,
                   valid=jnp.ones((L, H, new_capacity), jnp.bool_))
     if isinstance(cache, Int4KVCache):
+        # K/V nibbles are stored transposed (L, H, D//2, C): gather columns
+        def gather_t(arr):
+            out = jnp.take_along_axis(arr, take[:, :, None, :], axis=3)
+            return jnp.where(live[:, :, None, :], out, 0)
+
         return Int4KVCache(
-            k_q=gather(cache.k_q), v_q=gather(cache.v_q),
+            k_q=gather_t(cache.k_q), v_q=gather_t(cache.v_q),
             k_s=gather(cache.k_s), k_z=gather(cache.k_z),
             v_s=gather(cache.v_s), v_z=gather(cache.v_z), **common)
     return KVCache(k=gather(cache.k), v=gather(cache.v), **common)

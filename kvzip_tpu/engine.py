@@ -242,6 +242,25 @@ class Engine:
                     f"query+generation needs {need} rows beyond {cur} but "
                     f"capacity is {cache.capacity}; raise decode_budget")
 
+    def _maybe_refold(self, state: KVState, need: int):
+        """Multi-turn beyond the tail budget on the flat evict path: fold the
+        committed tail into the flat context (reference re-gathers the
+        flattened cache every ``slice``, `attention/kvcache.py:82-106`; here
+        it happens only when the tail is about to overflow)."""
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV, refold_flat
+
+        cache = state.cache
+        if not isinstance(cache, (FlatKV, FlatInt4KV)):
+            return
+        cap = cache.k_tail.shape[2]
+        cur = int(jax.device_get(cache.tail_len))
+        if cur + need <= cap:
+            return
+        lens = np.asarray(jax.device_get(cache.lengths))
+        rows = int((lens + cur).sum(axis=-1).max())
+        state.cache = refold_flat(cache, _round_up(rows, 8192))
+        state.snapshot()
+
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
                         collect: str = "none") -> Optional[np.ndarray]:
         """Run ids through the model on the chunk ladder; maybe return logits."""
@@ -524,6 +543,8 @@ class Engine:
         """
         query_ids = self.encode(query) if isinstance(query, str) else np.asarray(query)
         max_new = max_new_tokens or self.max_new_tokens
+        if update_cache:
+            self._maybe_refold(state, len(query_ids) + max_new)
         self._check_capacity(state, len(query_ids) + max_new)
         state.snapshot()
 

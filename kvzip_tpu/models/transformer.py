@@ -203,12 +203,17 @@ def forward(
         if scoring:
             if is_int4:
                 kq_l, _, ks_l, kz_l = layer_store[0], None, layer_store[2], layer_store[3]
-                k_sink = dequantize_int4(kq_l[:, :sink], ks_l[:, :sink],
-                                         kz_l[:, :sink], dtype, pack="split")
+                # K nibbles stored transposed (Hkv, D//2, C): slice columns,
+                # swap back to rows for dequant (slices are small: sink/2k)
+                k_sink = dequantize_int4(
+                    jnp.swapaxes(kq_l[:, :, :sink], 1, 2), ks_l[:, :sink],
+                    kz_l[:, :sink], dtype, pack="split")
                 G4 = ks_l.shape[-1]
                 k_ctx = dequantize_int4(
-                    jax.lax.dynamic_slice(kq_l, (0, score_start, 0),
-                                          (Hkv, score_width, Dh // 2)),
+                    jnp.swapaxes(
+                        jax.lax.dynamic_slice(kq_l, (0, 0, score_start),
+                                              (Hkv, Dh // 2, score_width)),
+                        1, 2),
                     jax.lax.dynamic_slice(ks_l, (0, score_start, 0),
                                           (Hkv, score_width, G4)),
                     jax.lax.dynamic_slice(kz_l, (0, score_start, 0),
@@ -269,7 +274,7 @@ def forward(
                           and T > 8 and ks_a.shape[-1] == 1
                           and Dh % 128 == 0 and windows is None)
             if use_kernel:
-                # int4 flash: packed blocks dequantized in-register
+                # int4 flash: NN matmuls against raw nibbles (K transposed)
                 from kvzip_tpu.ops.flash_int4 import flash_attend_int4
                 attn_out = flash_attend_int4(
                     q, kq_a, ks_a[..., 0], kz_a[..., 0], vq_a,
@@ -277,8 +282,12 @@ def forward(
                     scale=scale,
                     interpret=(attn_impl == "flash_interpret"))
             else:
+                # jnp fallback (CPU tests / sliding windows) reads K/V rows:
+                # swap the transposed nibble layout back (full-cache copy —
+                # acceptable off the TPU hot path only)
                 attn_out = attn_ops.attend_blockwise_int4(
-                    q, kq_a, ks_a, kz_a, vq_a, vs_a, vz_a, base_lens,
+                    q, jnp.swapaxes(kq_a, 1, 2), ks_a, kz_a,
+                    jnp.swapaxes(vq_a, 1, 2), vs_a, vz_a, base_lens,
                     valid_l, scale=scale, q_pos0=q_pos0, window=win)
         elif attn_impl in ("flash", "flash_interpret"):
             # Pallas kernels: stream only live KV (no valid-mask support —

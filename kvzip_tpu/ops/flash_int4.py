@@ -1,15 +1,25 @@
 """Pallas flash attention over the INT4 KV cache (prefill/scoring path).
 
 Same masking semantics as ``ops.flash`` but the K/V blocks arrive packed
-(split nibble layout, one quant group per row — ``ops.quant``) and are
-dequantized in-register. Pipelined grid (kv_head, q_block, kv_major) with
-index-clamped kv maps: blocks beyond the live length are mapped to the last
-live block so Pallas skips their DMA entirely. HBM traffic for the int4
-prefill is therefore ~4x below the bf16 path.
+(split nibble layout, one quant group per row — ``ops.quant``). v2 design
+(mirrors the flat-decode rework that took the decode kernel 28 -> 3.3 ms):
 
-Scale/zero pairs ride as a (Hkv, C, 2) tensor — Mosaic block shapes require
-the last dim to be lane-aligned or full, so the two scalars share the minor
-dim instead of living in separate (Hkv, C) arrays.
+- **manual double-buffered DMA** with a dynamic kv trip count: the grid is
+  only (kv_head, q_block); kv blocks beyond the live length are never
+  fetched and never cost a grid step (the v1 pipelined grid paid the
+  2-4 us/step floor + scalar index_map evals for every dead block of the
+  full capacity);
+- **K and V nibbles stored transposed** ``(Hkv, D//2, C)``: the score matmul
+  is NN (the bf16 NT minor x minor contraction is a ~7x Mosaic slow path),
+  and a row-major ``(BK, 64)`` uint8 manual DMA does not compile at all
+  (sub-128 minor dim) while the transposed ``(64, BK)`` slice does;
+- **quant params folded out of the matmuls** (x_r = n_r*s_r + z_r):
+  scores  = (q @ n) * s_col + sum(q) * z_col, output = (p * s_v) @ n_v^T +
+  (p . z_v) — both matmuls run directly against the raw nibble values, no
+  dequantized tiles are ever built. The PV contraction runs in f32 (f32 NT
+  escapes the bf16 NT slow path).
+
+HBM traffic for the int4 prefill is ~4x below the bf16 path.
 """
 
 from __future__ import annotations
@@ -24,83 +34,121 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
-def _kernel(lens_ref, pos_ref, q_ref, kq_ref, ksz_ref, vq_ref, vsz_ref,
-            o_ref, m_scr, l_scr, acc_scr,
-            *, block_q: int, block_km: int, block_k: int, scale: float,
-            dtype):
+def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
+            o_ref, kq_buf, ksz_buf, vq_buf, vsz_buf, sem,
+            m_scr, l_scr, acc_scr,
+            *, block_q: int, block_k: int, scale: float, dtype):
     h = pl.program_id(0)
     qb = pl.program_id(1)
-    kb = pl.program_id(2)
     G = q_ref.shape[1]
     BQ = block_q
+    BK = block_k
     D = q_ref.shape[3]
+    C = kq_hbm.shape[2]
     rows = G * BQ
 
     base = lens_ref[h]
-    kv_end = base + (qb + 1) * BQ
-    nbm = pl.cdiv(kv_end, block_km)
+    kv_end = jnp.minimum(base + (qb + 1) * BQ, C)
+    nb = pl.cdiv(kv_end, BK)
 
-    @pl.when(kb == 0)
-    def _():
-        m_scr[...] = jnp.full((rows, 1), NEG_INF, jnp.float32)
-        l_scr[...] = jnp.zeros((rows, 1), jnp.float32)
-        acc_scr[...] = jnp.zeros((rows, D), jnp.float32)
+    q = q_ref[0].reshape(rows, D)
+    qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # (rows, 1)
 
-    @pl.when(kb < nbm)
-    def compute():
-        q = q_ref[0].reshape(rows, D)
-        row_q = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0) % BQ
-        col_l = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+    m_scr[...] = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l_scr[...] = jnp.zeros((rows, 1), jnp.float32)
+    acc_scr[...] = jnp.zeros((rows, D), jnp.float32)
 
-        def dequant(p, sz):
-            pi = p.astype(jnp.int32)
-            hi = (pi >> 4).astype(jnp.float32)
-            lo = (pi & 0xF).astype(jnp.float32)
-            x = jnp.concatenate([hi, lo], axis=-1)  # (block_k, D)
-            s = sz[:, 0:1].astype(jnp.float32)
-            z = sz[:, 1:2].astype(jnp.float32)
-            return (x * s + z).astype(dtype)
+    def dma_kq(b, slot):
+        return pltpu.make_async_copy(
+            kq_hbm.at[h, :, pl.ds(b * BK, BK)], kq_buf.at[slot],
+            sem.at[slot, 0])
 
-        @pl.loop(0, block_km, step=block_k, unroll=True)
-        def _body(start):
-            k_blk = dequant(kq_ref[0, pl.ds(start, block_k), :],
-                            ksz_ref[0, pl.ds(start, block_k), :])
-            s = jax.lax.dot_general(
-                q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+    def dma_ksz(b, slot):
+        return pltpu.make_async_copy(
+            ksz_hbm.at[h, :, pl.ds(b * BK, BK)], ksz_buf.at[slot],
+            sem.at[slot, 1])
 
-            col = col_l + kb * block_km + start
-            mask = col < (base + qb * BQ + row_q + 1)
-            s = jnp.where(mask, s, NEG_INF)
+    def dma_vq(b, slot):
+        return pltpu.make_async_copy(
+            vq_hbm.at[h, :, pl.ds(b * BK, BK)], vq_buf.at[slot],
+            sem.at[slot, 2])
 
-            m_prev = m_scr[...]
-            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-            alpha = jnp.where(jnp.isfinite(m_prev),
-                              jnp.exp(m_prev - m_new), 0.0)
-            p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
-            l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-            v_blk = dequant(vq_ref[0, pl.ds(start, block_k), :],
-                            vsz_ref[0, pl.ds(start, block_k), :])
-            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-                p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            m_scr[...] = m_new
+    def dma_vsz(b, slot):
+        return pltpu.make_async_copy(
+            vsz_hbm.at[h, :, pl.ds(b * BK, BK)], vsz_buf.at[slot],
+            sem.at[slot, 3])
 
-    @pl.when(kb == pl.num_programs(2) - 1)
-    def _():
-        o_ref[0] = (acc_scr[...] / jnp.maximum(l_scr[...], 1e-37)
-                    ).reshape(G, BQ, D).astype(o_ref.dtype)
+    dma_kq(0, 0).start()
+    dma_ksz(0, 0).start()
+    dma_vq(0, 0).start()
+    dma_vsz(0, 0).start()
+
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (rows, BK), 0) % BQ
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (rows, BK), 1)
+
+    def body(b, _):
+        slot = b % 2
+        nxt = (b + 1) % 2
+
+        @pl.when(b + 1 < nb)
+        def _():
+            dma_kq(b + 1, nxt).start()
+            dma_ksz(b + 1, nxt).start()
+            dma_vq(b + 1, nxt).start()
+            dma_vsz(b + 1, nxt).start()
+
+        dma_kq(b, slot).wait()
+        dma_ksz(b, slot).wait()
+        dma_vq(b, slot).wait()
+        dma_vsz(b, slot).wait()
+
+        # scores: q @ nibbles (NN), then column scale + zero-point correction
+        kpi = kq_buf[slot].astype(jnp.int32)            # (D//2, BK) packed
+        kn = jnp.concatenate([kpi >> 4, kpi & 0xF], axis=0).astype(q.dtype)
+        qn = jax.lax.dot_general(
+            q, kn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (rows, BK)
+        ks = ksz_buf[slot, 0:1]                          # (1, BK) f32
+        kz = ksz_buf[slot, 1:2]
+        s = (qn * ks + qsum * kz) * scale
+
+        col = col_local + b * BK
+        mask = col < (base + qb * BQ + row_q + 1)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        # output: (p * s_v) @ nibbles^T (f32 NT) + zero-point correction
+        vpi = vq_buf[slot].astype(jnp.int32)             # (D//2, BK) packed
+        vn = jnp.concatenate(
+            [vpi >> 4, vpi & 0xF], axis=0).astype(jnp.float32)  # (D, BK)
+        ps = p * vsz_buf[slot, 0:1]                      # (rows, BK) f32
+        pz = jnp.sum(p * vsz_buf[slot, 1:2], axis=1, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + pz + jax.lax.dot_general(
+            ps, vn, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[...] = m_new
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+    out = acc_scr[...] / jnp.maximum(l_scr[...], 1e-37)
+    o_ref[0] = out.reshape(G, BQ, D).astype(dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_km", "block_k", "interpret"))
+    static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attend_int4(
     q: jax.Array,            # (T, H, D)
-    k_q: jax.Array,          # (Hkv, C, D//2) uint8 split-packed
+    k_q: jax.Array,          # (Hkv, D//2, C) uint8 split-packed TRANSPOSED
     k_s: jax.Array,          # (Hkv, C) scales (any float dtype)
     k_z: jax.Array,
-    v_q: jax.Array,
+    v_q: jax.Array,          # (Hkv, D//2, C) uint8 TRANSPOSED
     v_s: jax.Array,
     v_z: jax.Array,
     base_lens: jax.Array,    # (Hkv,) int32
@@ -108,59 +156,56 @@ def flash_attend_int4(
     *,
     scale: float,
     block_q: int = 256,
-    block_km: int = 512,   # 1024 overflows VMEM (unrolled dequant temps)
-    block_k: int = 512,
+    block_k: int = 512,   # (G*BQ, BK) f32 score tile + iotas ~ VMEM budget
     interpret: bool = False,
 ) -> jax.Array:
     T, H, D = q.shape
-    Hkv, C, _ = k_q.shape
+    Hkv, _, C = v_q.shape
     G = H // Hkv
 
     BQ = min(block_q, T)
     while T % BQ:
         BQ //= 2
-    BKM = block_km
-    while C % BKM:
-        BKM //= 2
-    BK = min(block_k, BKM)
-    nkvm = C // BKM
+    BK = block_k
+    while C % BK:
+        BK //= 2
 
     qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
-    k_sz = jnp.stack([k_s, k_z], axis=-1).astype(jnp.float32)  # (Hkv, C, 2)
-    v_sz = jnp.stack([v_s, v_z], axis=-1).astype(jnp.float32)
-
-    def kv_index(h, qb, kb, lens, pos):
-        last = jax.lax.div(lens[h] + (qb + 1) * BQ - 1, BKM)
-        return (h, jnp.minimum(kb, last), 0)
+    k_sz = jnp.stack([k_s, k_z], axis=1).astype(jnp.float32)  # (Hkv, 2, C)
+    v_sz = jnp.stack([v_s, v_z], axis=1).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Hkv, T // BQ, nkvm),
+        grid=(Hkv, T // BQ),
         in_specs=[
-            pl.BlockSpec((1, G, BQ, D), lambda h, qb, kb, l, p: (h, 0, qb, 0)),
-            pl.BlockSpec((1, BKM, D // 2), kv_index),
-            pl.BlockSpec((1, BKM, 2), kv_index),
-            pl.BlockSpec((1, BKM, D // 2), kv_index),
-            pl.BlockSpec((1, BKM, 2), kv_index),
+            pl.BlockSpec((1, G, BQ, D), lambda h, qb, l, p: (h, 0, qb, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         ],
         out_specs=pl.BlockSpec((1, G, BQ, D),
-                               lambda h, qb, kb, l, p: (h, 0, qb, 0)),
+                               lambda h, qb, l, p: (h, 0, qb, 0)),
         scratch_shapes=[
+            pltpu.VMEM((2, D // 2, BK), jnp.uint8),
+            pltpu.VMEM((2, 2, BK), jnp.float32),
+            pltpu.VMEM((2, D // 2, BK), jnp.uint8),
+            pltpu.VMEM((2, 2, BK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.VMEM((G * BQ, 1), jnp.float32),
             pltpu.VMEM((G * BQ, 1), jnp.float32),
             pltpu.VMEM((G * BQ, D), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _kernel, block_q=BQ, block_km=BKM, block_k=BK, scale=scale,
-        dtype=q.dtype)
+        _kernel, block_q=BQ, block_k=BK, scale=scale, dtype=q.dtype)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hkv, G, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(base_lens.astype(jnp.int32), q_pos0.astype(jnp.int32)[None], qg,
       k_q, k_sz, v_q, v_sz)

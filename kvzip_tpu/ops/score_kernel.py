@@ -30,14 +30,14 @@ NEG_INF = float("-inf")
 def _score_kernel(meta_ref, q_ref, keys_ref, out_ref, *,
                   block_q: int, sink: int, s_ctx: int, scale: float,
                   model_dtype):
-    """meta = [ctx_len, q_valid]; q (1, G, BQ, D); keys (1, K, D);
+    """meta = [ctx_len, q_valid]; q (1, G, BQ, D); keys (1, D, K) transposed;
     out (1, S_ctx) running max."""
     h = pl.program_id(0)
     qb = pl.program_id(1)
     G = q_ref.shape[1]
     BQ = block_q
     D = q_ref.shape[3]
-    K = keys_ref.shape[1]
+    K = keys_ref.shape[2]
     rows = G * BQ
     s0 = sink + s_ctx  # start of the repeat region
 
@@ -51,10 +51,10 @@ def _score_kernel(meta_ref, q_ref, keys_ref, out_ref, *,
         out_ref[...] = jnp.zeros_like(out_ref)
 
     q = q_ref[0].reshape(rows, D)
-    keys = keys_ref[0]
+    keys = keys_ref[0]  # (D, K) — NN matmul (bf16 NT is a Mosaic slow path)
 
     s = jax.lax.dot_general(
-        q, keys, (((1,), (1,)), ((), ())),
+        q, keys, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (rows, K)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (rows, K), 1)
@@ -104,6 +104,7 @@ def fused_scores(
     while T % BQ:
         BQ //= 2
     qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
+    keys_t = keys.transpose(0, 2, 1)  # (Hkv, D, K) — NN score matmul
 
     meta = jnp.stack([ctx_len.astype(jnp.int32), q_valid.astype(jnp.int32)])
 
@@ -112,7 +113,7 @@ def fused_scores(
         grid=(Hkv, T // BQ),
         in_specs=[
             pl.BlockSpec((1, G, BQ, D), lambda h, qb, m: (h, 0, qb, 0)),
-            pl.BlockSpec((1, K, D), lambda h, qb, m: (h, 0, 0)),
+            pl.BlockSpec((1, D, K), lambda h, qb, m: (h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((Hkv, s_ctx), lambda h, qb, m: (0, 0)),
     )
@@ -128,5 +129,5 @@ def fused_scores(
             # all programs accumulate into one shared out block
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(meta, qg, keys)
+    )(meta, qg, keys_t)
     return out

@@ -9,7 +9,7 @@ from kvzip_tpu.ops.flash_int4 import flash_attend_int4
 from kvzip_tpu.ops.quant import quantize_int4
 
 
-@pytest.mark.parametrize("T,base", [(16, 24), (32, 0)])
+@pytest.mark.parametrize("T,base", [(16, 24), (32, 0), (16, 100)])
 def test_flash_int4_matches_blockwise(T, base):
     rng = np.random.default_rng(0)
     Hkv, G, D, C = 2, 2, 128, 128
@@ -25,8 +25,9 @@ def test_flash_int4_matches_blockwise(T, base):
     want = attend_blockwise_int4(q, kq, ks, kz, vq, vs, vz, lens, None,
                                  scale=D ** -0.5, kv_block=32)
     got = flash_attend_int4(
-        q, kq, ks[..., 0], kz[..., 0], vq, vs[..., 0], vz[..., 0], lens,
-        jnp.asarray(base, jnp.int32), scale=D ** -0.5, block_q=8,
-        block_km=32, block_k=16, interpret=True)
+        q, jnp.swapaxes(kq, 1, 2), ks[..., 0], kz[..., 0],
+        jnp.swapaxes(vq, 1, 2), vs[..., 0], vz[..., 0], lens,
+        jnp.asarray(base, jnp.int32), scale=D ** -0.5,
+        block_q=8, block_k=32, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
