@@ -29,6 +29,7 @@ engine-level code donates it so XLA performs updates in place.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -162,6 +163,7 @@ class FlatKV:
         return float(rows * d * self.k_flat.dtype.itemsize * 2)
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
                tail_cap: int,
                static_mask=None) -> FlatKV:
@@ -170,7 +172,9 @@ def build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
     keep: (L, H, ctx_len) bool over the context region. r_pad: static padded
     flat row count (>= max over layers of kept rows, multiple of the kernel
     block). One stable argsort + gather per layer — the TPU equivalent of
-    reference ``prepare_init`` (`attention/kvcache.py:152-185`).
+    reference ``prepare_init`` (`attention/kvcache.py:152-185`). Jitted so
+    the gather's broadcast index arrays fuse instead of materializing (a
+    multi-GB eager temporary at 131k).
     """
     L, H, C, D = cache.k.shape
     ctx_len = keep.shape[-1]
@@ -257,6 +261,7 @@ class FlatInt4KV:
         return float(rows * bytes_per_row * 2)
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
                     r_pad: int, tail_cap: int, dtype=jnp.bfloat16) -> FlatInt4KV:
     """Compact an INT4 cache into the flat decode layout (packed rows move
@@ -311,6 +316,99 @@ def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HybridKV:
+    """Gemma3-style hybrid cache: full-length stacks for STATIC (global
+    attention) layers + window-sized RING buffers for sliding layers.
+
+    TPU-native counterpart of reference ``RetainHybridCache``
+    (`attention/kvcache.py:350-599`): its ``_sliding_update`` keeps only
+    ``window`` rows per sliding layer (`:402-447`); round-1 kept
+    full-capacity buffers + masking instead, wasting (C - window) rows per
+    sliding layer (~43 GB for gemma3-12b at 128k). Ring slots are stamped
+    with their token position (``ring_pos``, -1 = empty) so attention masks
+    by position, not slot arithmetic; wrap-around needs no re-ordering.
+
+    Retain-path only (the reference forces retain for gemma3,
+    `model/wrapper.py:74-76`): ``valid`` masks static context rows.
+    """
+
+    k_static: jax.Array   # (L_static, H_kv, C, D)
+    v_static: jax.Array
+    k_ring: jax.Array     # (L_sliding, H_kv, W, D)
+    v_ring: jax.Array
+    ring_pos: jax.Array   # (L_sliding, W) int32 token position, -1 empty
+    lengths: jax.Array    # (L_static, H_kv) int32
+    valid: jax.Array      # (L_static, H_kv, C) bool
+    seen: jax.Array       # () int32
+
+    @property
+    def capacity(self) -> int:
+        return self.k_static.shape[2]
+
+    @property
+    def window(self) -> int:
+        return self.k_ring.shape[2]
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.k_static.shape[1]
+
+    def mem_bytes(self) -> int:
+        return ((self.k_static.size + self.k_ring.size)
+                * self.k_static.dtype.itemsize * 2)
+
+    def used_bytes(self) -> float:
+        d = self.k_static.shape[-1]
+        rows = int(jax.device_get(self.lengths).sum())
+        ring_rows = int((jax.device_get(self.ring_pos) >= 0).sum()
+                        ) * self.num_kv_heads
+        return float((rows + ring_rows) * d
+                     * self.k_static.dtype.itemsize * 2)
+
+
+def init_hybrid_cache(cfg: ModelConfig, capacity: int,
+                      dtype=jnp.bfloat16) -> HybridKV:
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    L_t = len(cfg.static_layer_ids)
+    L_s = L - L_t
+    W = max(128, -(-int(cfg.sliding_window) // 128) * 128)
+    return HybridKV(
+        k_static=jnp.zeros((L_t, H, capacity, D), dtype),
+        v_static=jnp.zeros((L_t, H, capacity, D), dtype),
+        k_ring=jnp.zeros((L_s, H, W, D), dtype),
+        v_ring=jnp.zeros((L_s, H, W, D), dtype),
+        ring_pos=jnp.full((L_s, W), -1, jnp.int32),
+        lengths=jnp.zeros((L_t, H), jnp.int32),
+        valid=jnp.ones((L_t, H, capacity), jnp.bool_),
+        seen=jnp.zeros((), jnp.int32),
+    )
+
+
+def ring_append(k_ring: jax.Array, v_ring: jax.Array, ring_pos: jax.Array,
+                seen, k_new: jax.Array, v_new: jax.Array):
+    """Append T rows at positions [seen, seen+T) into one layer's ring.
+
+    k_ring/v_ring (H, W, D); ring_pos (W,); k_new/v_new (T, H, D). Keeps
+    only the last min(T, W) rows (reference ``_sliding_update``,
+    `attention/kvcache.py:402-447`). Returns updated (k_ring, v_ring,
+    ring_pos).
+    """
+    T, H, D = k_new.shape
+    W = k_ring.shape[1]
+    n = min(T, W)
+    pos = seen + T - n + jnp.arange(n, dtype=jnp.int32)   # (n,)
+    idx = pos % W
+    k_rows = jnp.swapaxes(k_new[T - n:], 0, 1)            # (H, n, D)
+    v_rows = jnp.swapaxes(v_new[T - n:], 0, 1)
+    k_ring = k_ring.at[:, idx, :].set(k_rows)
+    v_ring = v_ring.at[:, idx, :].set(v_rows)
+    ring_pos = ring_pos.at[idx].set(pos)
+    return k_ring, v_ring, ring_pos
+
+
+@partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
 def refold_flat(cache, r_pad_new: int):
     """Fold the tail (query/answer KV of committed multi-turn rounds) into
     the flat context so the tail buffer empties and decoding can continue.
@@ -492,9 +590,16 @@ _RESTORE_FIELDS = ("lengths", "seen", "tail_len")
 
 
 def snapshot(cache) -> dict:
-    """Host-side snapshot of restore state (cheap: tiny counter arrays)."""
-    return {f: getattr(cache, f) for f in _RESTORE_FIELDS
+    """Snapshot of restore state. Counters only for linear caches (O(1)
+    restore); hybrid rings must be backed up wholesale — ring writes are
+    destructive once wrapped (the reference clones sliding layers around
+    non-updating calls for the same reason, `kvcache.py:503-518`)."""
+    snap = {f: getattr(cache, f) for f in _RESTORE_FIELDS
             if hasattr(cache, f)}
+    if isinstance(cache, HybridKV):
+        snap.update(k_ring=cache.k_ring, v_ring=cache.v_ring,
+                    ring_pos=cache.ring_pos)
+    return snap
 
 
 def restore(cache, snap: dict):

@@ -49,6 +49,16 @@ def build_parser():
     sp_eval = sub.add_parser("eval", help="accuracy-vs-ratio sweep")
     common(sp_eval)
     sp_demo = sub.add_parser("demo", help="end-to-end compression demo")
+    sp_demo.add_argument("--ctx_tokens", type=int, default=0,
+                         help="synthesize an N-token context (the reference "
+                              "demo scenario is 480k, images/demo.png); "
+                              "0 = use --context_file / built-in haystack")
+    sp_demo.add_argument("--kv_quant", type=str, default="none",
+                         choices=("none", "int4"))
+    sp_demo.add_argument("--weight_quant", type=str, default="none",
+                         choices=("none", "w8a8"))
+    sp_demo.add_argument("--decode_tokens", type=int, default=64,
+                         help="fixed decode length for ms/token timing")
     sp_demo.add_argument("-m", "--mode", default="kvzip",
                          choices=["kvzip", "kvzip_head", "no", "full"])
     sp_demo.add_argument("--model", type=str, default="llama3.2-3b")
@@ -153,30 +163,47 @@ def cmd_demo(args):
     from kvzip_tpu.data.needle import synthetic_haystack
 
     stamp = TimeStamp(verbose=True, unit="ms")
-    engine = Engine(args.model)
+    engine = Engine(args.model,
+                    kv_quant=getattr(args, "kv_quant", "none"),
+                    weight_quant=getattr(args, "weight_quant", "none"),
+                    max_new_tokens=max(args.decode_tokens, 64),
+                    decode_budget=max(args.decode_tokens, 64) + 256)
 
-    if args.context_file:
+    if args.ctx_tokens:
+        # reference demo scenario at token scale (480k, images/demo.png):
+        # synthesize the context directly in token space
+        import numpy as _np
+        rng = _np.random.default_rng(42)
+        context = rng.integers(
+            1, engine.config.vocab_size - 10,
+            size=args.ctx_tokens).astype(_np.int32)
+        queries = ["Summarize the context."] * 2
+        answers = ["-"] * 2
+    elif args.context_file:
         with open(args.context_file) as f:
             context = f.read()
+        queries = ["What is the maximum number of tokens per cache page?",
+                   "What bit range do quantized layers support?"]
+        answers = ["256", "2 to 8 bits"]
     else:
         context = synthetic_haystack(400_000, seed=42)
         secret = ("\nIMPORTANT: the maximum number of tokens per cache page "
                   "is 256, and quantized layers support 2 to 8 bits.\n")
         third = len(context) // 3
         context = context[:third] + secret + context[third:]
+        queries = ["What is the maximum number of tokens per cache page?",
+                   "What bit range do quantized layers support?"]
+        answers = ["256", "2 to 8 bits"]
 
-    queries = ["What is the maximum number of tokens per cache page?",
-               "What bit range do quantized layers support?"]
     queries = [q + "\nAnswer without explanation." for q in queries]
-    answers = ["256", "2 to 8 bits"]
     stamp("Before Prefill")
 
     state = engine.prefill(
-        context,
+        context, prefill_chunk_size=16384,
         load_score=(args.mode == "kvzip_head"),
         do_score=(args.mode in ("kvzip", "kvzip_head")))
-    stamp(f"KV cache size: {state.mem_gb()} GB. After Prefill")
-
+    stamp(f"KV cache size: {state.mem_gb()} GB (live {state.used_gb()} GB). "
+          "After Prefill")
     if args.mode in ("kvzip", "kvzip_head"):
         ratio = 0.3 if args.mode == "kvzip" else 0.6
         engine.prune(state, ratio, "head" if args.mode == "kvzip_head" else "pair")
@@ -186,7 +213,8 @@ def cmd_demo(args):
     print("-" * 100)
     for q, a in zip(queries, answers):
         q_ids = engine.apply_template(q)
-        output = engine.generate(q_ids, state)
+        output = engine.generate(q_ids, state,
+                                 max_new_tokens=args.decode_tokens)
         print(engine.decode(q_ids), output, f"\n(Ground-truth: {a})")
         n = len(q_ids) + len(engine.encode(output)) + 1
         stamp("After Generation", denominator=n)

@@ -67,13 +67,24 @@ class KVState:
     def snapshot(self):
         from kvzip_tpu.cache import snapshot as cache_snapshot
 
-        self._snap = {k: np.asarray(jax.device_get(v))
-                      for k, v in cache_snapshot(self.cache).items()}
+        self._snap = {}
+        for k, v in cache_snapshot(self.cache).items():
+            if k in ("k_ring", "v_ring"):
+                # device-side copy: forwards donate the cache, so the live
+                # ring buffer gets overwritten in place — a plain reference
+                # would alias a dead buffer
+                self._snap[k] = jnp.copy(v)
+            else:
+                self._snap[k] = np.asarray(jax.device_get(v))
 
     def restore_snapshot(self):
+        # device arrays (ring backups) are COPIED in: the restored cache is
+        # donated by the next forward, which would delete the snapshot's own
+        # buffer and poison any later restore
         self.cache = restore(
             self.cache,
-            {k: jnp.asarray(v, jnp.int32) for k, v in self._snap.items()})
+            {k: (jnp.copy(v) if isinstance(v, jax.Array) else jnp.asarray(v))
+             for k, v in self._snap.items()})
 
     def mem_gb(self) -> float:
         return round(self.cache.mem_bytes() / 1e9, 3)
@@ -190,6 +201,16 @@ class Engine:
         return np.concatenate([self.encode(q), self.postfix_ids])
 
     # --------------------------------------------------------------- forward
+    @staticmethod
+    def _fwd_fn(cache):
+        """Route to the hybrid (ring-buffered) forward for gemma3 caches."""
+        from kvzip_tpu.cache import HybridKV
+
+        if isinstance(cache, HybridKV):
+            from kvzip_tpu.models.hybrid import forward_hybrid
+            return forward_hybrid
+        return forward
+
     def _use_flat(self, state: "KVState") -> bool:
         """Build the flat decode cache at prune time? (evict path; bf16 or
         int4-with-one-group-per-row KV; 128-aligned head_dim)."""
@@ -277,8 +298,9 @@ class Engine:
             pos += size
             want = collect if collect == "all" else (
                 "last" if pos == len(ids) and collect == "last" else "none")
-            res = forward(self.params, self.config, chunk, state.cache,
-                          collect_logits=want, sink=state.sink, attn_impl=impl)
+            res = self._fwd_fn(state.cache)(
+                self.params, self.config, chunk, state.cache,
+                collect_logits=want, sink=state.sink, attn_impl=impl)
             state.cache = res.cache
             if res.logits is not None:
                 logits_parts.append(res.logits)
@@ -308,12 +330,17 @@ class Engine:
 
         extra = max(self.score_q_pad, self.decode_budget)
         capacity = _round_up(prefill_len + extra, self.capacity_granularity)
-        if self.kv_quant == "int4":
+        if self.config.is_hybrid:
+            # ring-buffered sliding layers (window-bound memory); int4 KV
+            # is a llama-family feature in the reference — not composed here
+            from kvzip_tpu.cache import init_hybrid_cache
+            cache = init_hybrid_cache(self.config, capacity, self.dtype)
+        elif self.kv_quant == "int4":
             from kvzip_tpu.cache import init_int4_cache
             cache = init_int4_cache(self.config, capacity, self.dtype)
         else:
             cache = init_cache(self.config, capacity, self.dtype)
-        if self.mesh is not None:
+        if self.mesh is not None and not self.config.is_hybrid:
             from kvzip_tpu.parallel import shard_cache
             cache = shard_cache(self.mesh, cache)
 
@@ -390,7 +417,7 @@ class Engine:
                     f"{self.score_q_pad}; raise score_chunk_size padding")
             rep_padded = np.zeros((self.score_q_pad,), np.int32)
             rep_padded[:n_q] = rep_ids
-            res = forward(
+            res = self._fwd_fn(state.cache)(
                 self.params, cfg, jnp.asarray(rep_padded), state.cache,
                 scoring=True,
                 score_start=jnp.asarray(start, jnp.int32),
@@ -427,17 +454,35 @@ class Engine:
         static_layers = (self.config.static_layer_ids
                          if self.config.is_hybrid else None)
         keep, thres, true_ratio = prune_lib.prune_mask(
-            state.score, ratio, level, static_layers)
+            state.score, ratio, level, static_layers,
+            # sharded scores: histogram quantile instead of a replicated sort
+            method="histogram" if self.mesh is not None else "sort")
 
         if state.kv_type == "retain":
-            static_mask = None
-            if static_layers is not None:
-                m = np.zeros((self.config.num_layers,), bool)
-                m[list(static_layers)] = True
-                static_mask = jnp.asarray(m)
-            state.cache = set_retain_mask(state.cache, keep, state.sink,
-                                          static_mask)
+            from kvzip_tpu.cache import HybridKV
+
+            if isinstance(state.cache, HybridKV):
+                # hybrid valid covers static layers only; sliding layers
+                # are never pruned (reference scores/prunes static layers,
+                # `attention/kvcache.py:534-562`)
+                keep_static = keep[np.asarray(static_layers)]
+                L_t, H, C = state.cache.valid.shape
+                valid = jnp.ones((L_t, H, C), jnp.bool_)
+                valid = jax.lax.dynamic_update_slice(
+                    valid, keep_static.astype(jnp.bool_), (0, 0, state.sink))
+                state.cache = dataclasses.replace(state.cache, valid=valid)
+            else:
+                static_mask = None
+                if static_layers is not None:
+                    m = np.zeros((self.config.num_layers,), bool)
+                    m[list(static_layers)] = True
+                    static_mask = jnp.asarray(m)
+                state.cache = set_retain_mask(state.cache, keep, state.sink,
+                                              static_mask)
         elif state.kv_type == "evict":
+            # one-shot path: the score buffer is dead once keep is computed —
+            # free it before the compaction gather (216 MB at 480k ctx)
+            state.score = None
             if self._use_flat(state):
                 # flat decode layout: HBM reads = true compressed footprint
                 from kvzip_tpu.cache import (Int4KVCache, build_flat,
@@ -506,28 +551,53 @@ class Engine:
         cfg = self.config
         eos = jnp.asarray(self.eos_ids, jnp.int32)
 
+        # the flat context arrays are FROZEN during decode — keep them OUT of
+        # the while_loop carry (an invariant multi-GB carry risks a
+        # per-iteration copy; only the tail/counters actually change)
+        _MUT = ("k_tail", "v_tail", "tail_len", "seen")
+
         @partial(jax.jit, donate_argnames=("cache",))
         def run(params, cache: KVCache, first_token):
+            from kvzip_tpu.cache import FlatInt4KV, FlatKV
+
             tokens0 = jnp.zeros((max_steps + 1,), jnp.int32)
             tokens0 = tokens0.at[0].set(first_token)
+            is_flat = isinstance(cache, (FlatKV, FlatInt4KV))
+
+            if is_flat:
+                mut0 = {f: getattr(cache, f) for f in _MUT}
+
+                def as_cache(mut):
+                    return dataclasses.replace(cache, **mut)
+            else:
+                mut0 = cache
+
+                def as_cache(mut):
+                    return mut
 
             def cond(carry):
                 i, done, _, _ = carry
                 return (~done) & (i < max_steps)
 
             def body(carry):
-                i, done, tokens, cache = carry
-                res = forward(params, cfg, tokens[i][None], cache,
-                              collect_logits="last", attn_impl=impl)
+                i, done, tokens, mut = carry
+                c = as_cache(mut)
+                res = Engine._fwd_fn(c)(
+                    params, cfg, tokens[i][None], c,
+                    collect_logits="last", attn_impl=impl)
                 nxt = jnp.argmax(res.logits[-1]).astype(jnp.int32)
                 tokens = tokens.at[i + 1].set(nxt)
                 done = jnp.any(nxt == eos)
-                return (i + 1, done, tokens, res.cache)
+                if is_flat:
+                    mut = {f: getattr(res.cache, f) for f in _MUT}
+                else:
+                    mut = res.cache
+                return (i + 1, done, tokens, mut)
 
             first_done = jnp.any(first_token == eos)
-            i, done, tokens, cache = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), first_done, tokens0, cache))
-            return tokens, i, done, cache
+            i, done, tokens, mut = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), first_done, tokens0, mut0))
+            return tokens, i, done, as_cache(mut)
 
         self._decode_fns[key] = run
         return run

@@ -134,6 +134,80 @@ def attend_blockwise(
     return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(q.dtype)
 
 
+def attend_ring(
+    q: jax.Array,          # (T, H, D) queries at positions [seen, seen+T)
+    k_ring: jax.Array,     # (H_kv, W, D) PRE-append ring (positions < seen)
+    v_ring: jax.Array,
+    ring_pos: jax.Array,   # (W,) int32 token position per slot, -1 empty
+    k_new: jax.Array,      # (T, H_kv, D) this chunk's keys
+    v_new: jax.Array,
+    seen,
+    *,
+    scale: float,
+    window: int,
+    kv_block: int = 1024,
+) -> jax.Array:
+    """Sliding-window attention over a position-stamped ring buffer.
+
+    The kv set for query i (position p_i = seen + i) is every column with
+    position in (p_i - window, p_i]: the current chunk supplies positions
+    [seen, seen+T) and the ring supplies the preceding window. Must see the
+    PRE-append ring — appending first would evict rows that early queries
+    still need when T ~ window (the reference attends over full current
+    keys and only stores the truncated window, `_sliding_update`,
+    `attention/kvcache.py:402-447`).
+    """
+    T, H, D = q.shape
+    Hkv, W, _ = k_ring.shape
+    G = H // Hkv
+
+    keys = jnp.concatenate([jnp.swapaxes(k_new, 0, 1), k_ring], axis=1)
+    vals = jnp.concatenate([jnp.swapaxes(v_new, 0, 1), v_ring], axis=1)
+    pos_cols = jnp.concatenate(
+        [seen + jnp.arange(T, dtype=jnp.int32), ring_pos.astype(jnp.int32)])
+
+    C = T + W
+    blk = min(kv_block, C)
+    pad = (-C) % blk
+    if pad:
+        keys = jnp.pad(keys, ((0, 0), (0, pad), (0, 0)))
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+        pos_cols = jnp.pad(pos_cols, (0, pad), constant_values=-1)
+        C += pad
+    nblocks = C // blk
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3).astype(jnp.float32)
+    q_pos = seen + jnp.arange(T, dtype=jnp.int32)[:, None]      # (T, 1)
+
+    def body(carry, xs):
+        m, l, acc = carry
+        k_blk, v_blk, p_blk = xs                                 # (Hkv,blk,D)
+        ok = (p_blk[None, :] >= 0) & (p_blk[None, :] <= q_pos) \
+            & (p_blk[None, :] > q_pos - window)                  # (T, blk)
+        s = jnp.einsum("hgtd,hcd->hgtc", qg,
+                       k_blk.astype(jnp.float32)) * scale
+        s = jnp.where(ok[None, None], s, NEG_INF)
+        m_blk = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        alpha = jnp.where(jnp.isfinite(m), jnp.exp(m - m_new), 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "hgtc,hcd->hgtd", p, v_blk.astype(jnp.float32))
+        return (m_new, l_new, acc_new), None
+
+    m0 = jnp.full((Hkv, G, T, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Hkv, G, T, 1), jnp.float32)
+    acc0 = jnp.zeros((Hkv, G, T, D), jnp.float32)
+    xs = (jnp.swapaxes(keys.reshape(Hkv, nblocks, blk, D), 0, 1),
+          jnp.swapaxes(vals.reshape(Hkv, nblocks, blk, D), 0, 1),
+          pos_cols.reshape(nblocks, blk))
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), xs)
+
+    out = acc / jnp.maximum(l, 1e-37)
+    return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(q.dtype)
+
+
 def attend_blockwise_int4(
     q: jax.Array,                    # (T, H, D)
     kq: jax.Array, ks: jax.Array, kz: jax.Array,   # packed K + scales/zeros

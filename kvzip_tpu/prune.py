@@ -45,6 +45,62 @@ def threshold_global(score: jax.Array, ratio: float,
     return valid, float(jax.device_get(thres))
 
 
+def threshold_histogram(score: jax.Array, ratio: float,
+                        static_layers: Optional[Sequence[int]] = None,
+                        bins: int = 4096, iters: int = 4
+                        ) -> Tuple[jax.Array, float]:
+    """Global threshold via iterative histogram refinement — the
+    distributed form of :func:`threshold_global` (SURVEY §7 multi-host
+    design).
+
+    ``threshold_global`` sorts the full (L, H, ctx) score array, which
+    under head-sharding forces an all-gather + replicated O(n log n) sort.
+    Here each refinement round scatter-adds a (bins,) histogram — local
+    work + one small all-reduce under GSPMD — then narrows the value range
+    around the k-th largest element. Scores originate from bf16 ``amax``
+    (a quantized value grid), so ``iters x log2(bins)`` bits of range
+    resolution isolates the exact k-th value and the resulting mask is
+    IDENTICAL to the sort-based one (verified in tests/test_parallel.py);
+    for pathological continuous inputs it is approximate within the final
+    bin width.
+    """
+    if ratio >= 1:
+        return jnp.ones_like(score, dtype=jnp.bool_), 0.0
+
+    pool = (score[jnp.asarray(static_layers)]
+            if static_layers is not None else score).astype(jnp.float32)
+    n = pool.size
+    k = max(int(n * ratio) - 1, 0)  # descending rank of the threshold value
+
+    def hist_refine(carry, _):
+        lo, hi, k = carry
+        width = jnp.maximum((hi - lo) / bins, 1e-30)
+        idx = jnp.clip(((pool - lo) / width).astype(jnp.int32), 0, bins - 1)
+        counts = jnp.zeros((bins,), jnp.int32).at[idx].add(
+            ((pool >= lo) & (pool <= hi)).astype(jnp.int32))
+        cum = jnp.cumsum(counts[::-1])  # cum[j] = #elements in top j+1 bins
+        j = jnp.argmax(cum >= k + 1)
+        b = bins - 1 - j
+        k = k - (cum[j] - counts[b])
+        return (lo + b.astype(jnp.float32) * width,
+                lo + (b + 1).astype(jnp.float32) * width, k), None
+
+    lo0 = pool.min()
+    hi0 = jnp.nextafter(pool.max(), jnp.inf)
+    (lo, hi, _), _ = jax.lax.scan(hist_refine, (lo0, hi0, k), None,
+                                  length=iters)
+    # exact k-th value: the largest element inside the final bin
+    thres = jnp.max(jnp.where((pool >= lo) & (pool < hi), pool, -jnp.inf))
+    thres = jnp.where(jnp.isfinite(thres), thres, lo)
+
+    valid = score.astype(jnp.float32) > thres
+    if static_layers is not None:
+        mask = np.zeros((score.shape[0],), dtype=bool)
+        mask[np.asarray(static_layers)] = True
+        valid = jnp.where(jnp.asarray(mask)[:, None, None], valid, True)
+    return valid, float(jax.device_get(thres))
+
+
 def threshold_uniform(score: jax.Array, ratio: float,
                       static_layers: Optional[Sequence[int]] = None
                       ) -> Tuple[jax.Array, float]:
@@ -65,16 +121,21 @@ def threshold_uniform(score: jax.Array, ratio: float,
 
 
 def prune_mask(score: jax.Array, ratio: float, level: str = "pair",
-               static_layers: Optional[Sequence[int]] = None
+               static_layers: Optional[Sequence[int]] = None,
+               method: str = "sort"
                ) -> Tuple[jax.Array, float, float]:
     """Compute the keep-mask for a compression ratio.
 
     Returns (valid (L,H,ctx) bool, threshold, true_ratio). ``level`` follows
     the reference flags (`args.py:11-16`): "pair" (global threshold), "head"
     (same math on head-broadcast scores), "pair-uniform" (per-head top-k).
+    method="histogram" computes the global threshold without a replicated
+    sort (use when scores are sharded across a mesh).
     """
     if "uniform" in level:
         valid, thres = threshold_uniform(score, ratio, static_layers)
+    elif method == "histogram":
+        valid, thres = threshold_histogram(score, ratio, static_layers)
     else:
         valid, thres = threshold_global(score, ratio, static_layers)
     # parity: the reference reports the ratio over the scored (static) layers

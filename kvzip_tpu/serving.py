@@ -17,17 +17,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kvzip_tpu.cache import KVCache
+from kvzip_tpu.cache import FlatInt4KV, FlatKV, KVCache
 from kvzip_tpu.engine import Engine, KVState
 from kvzip_tpu.models.transformer import forward
 
 
-def _pad_capacity(cache: KVCache, capacity: int) -> KVCache:
+def _pad_capacity(cache, capacity: int):
+    if isinstance(cache, (FlatKV, FlatInt4KV)):
+        extra = capacity - cache.capacity
+        if extra == 0:
+            return cache
+        if isinstance(cache, FlatKV):
+            return dataclasses.replace(
+                cache,
+                k_flat=jnp.pad(cache.k_flat, ((0, 0), (0, 0), (0, extra))),
+                v_flat=jnp.pad(cache.v_flat,
+                               ((0, 0), (0, extra), (0, 0))),
+                row_head=jnp.pad(cache.row_head, ((0, 0), (0, extra)),
+                                 constant_values=-1),
+            )
+        return dataclasses.replace(
+            cache,
+            k_flat_q=jnp.pad(cache.k_flat_q, ((0, 0), (0, 0), (0, extra))),
+            v_flat_q=jnp.pad(cache.v_flat_q, ((0, 0), (0, extra), (0, 0))),
+            k_flat_s=jnp.pad(cache.k_flat_s, ((0, 0), (0, extra))),
+            k_flat_z=jnp.pad(cache.k_flat_z, ((0, 0), (0, extra))),
+            v_flat_s=jnp.pad(cache.v_flat_s, ((0, 0), (0, extra))),
+            v_flat_z=jnp.pad(cache.v_flat_z, ((0, 0), (0, extra))),
+            row_head=jnp.pad(cache.row_head, ((0, 0), (0, extra)),
+                             constant_values=-1),
+        )
     if not isinstance(cache, KVCache):
         raise NotImplementedError(
-            "batched_generate currently supports dense KVCache states "
-            "(retain path or flat_decode='off'); flat/int4 batching is a "
-            "round-2 item")
+            "batched_generate supports dense KVCache and flat "
+            "FlatKV/FlatInt4KV states")
     if cache.capacity == capacity:
         return cache
     extra = capacity - cache.capacity
@@ -41,7 +64,10 @@ def _pad_capacity(cache: KVCache, capacity: int) -> KVCache:
 
 
 def stack_caches(caches: Sequence[KVCache]) -> KVCache:
-    """Stack caches on a leading batch axis (padded to the max capacity)."""
+    """Stack caches on a leading batch axis (padded to the max capacity —
+    flat caches pad r_pad with head-id -1 rows that can never match)."""
+    if len({type(c) for c in caches}) != 1:
+        raise ValueError("all caches in a batch must have the same type")
     cap = max(c.capacity for c in caches)
     caches = [_pad_capacity(c, cap) for c in caches]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *caches)
@@ -79,7 +105,13 @@ def batched_generate(
     batched = stack_caches([st.cache for st in states])
     first_tok = jnp.stack(firsts)
 
-    impl = "blockwise"  # vmap-safe XLA path
+    if isinstance(states[0].cache, (FlatKV, FlatInt4KV)):
+        # flat compacted contexts decode through the Pallas flat kernel;
+        # vmap adds the batch as a leading grid dimension
+        impl = ("flash" if jax.default_backend() != "cpu"
+                else "flash_interpret")
+    else:
+        impl = "blockwise"  # vmap-safe XLA path
     step = partial(forward, collect_logits="last", attn_impl=impl)
 
     @partial(jax.jit, static_argnames=("max_steps",), donate_argnames=("cache",))

@@ -49,6 +49,36 @@ def test_tp_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_histogram_threshold_matches_sort():
+    """Distributed histogram quantile == replicated global sort, on
+    bf16-quantized scores (what the scoring pass produces), including a
+    head-sharded input on the 8-device mesh (VERDICT r1 item 9)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from kvzip_tpu.prune import threshold_global, threshold_histogram
+
+    rng = np.random.default_rng(0)
+    score = jnp.asarray(
+        rng.gamma(0.4, 1.0, size=(4, 8, 512)).astype(np.float32)
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+
+    for ratio in (0.1, 0.3, 0.5, 0.9):
+        v_sort, t_sort = threshold_global(score, ratio)
+        v_hist, t_hist = threshold_histogram(score, ratio)
+        np.testing.assert_array_equal(np.asarray(jax.device_get(v_hist)),
+                                      np.asarray(jax.device_get(v_sort)))
+        assert abs(t_hist - t_sort) < 1e-6
+
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(8, tp=8)
+        sharded = jax.device_put(
+            score, NamedSharding(mesh, P(None, "model", None)))
+        v_hist, _ = threshold_histogram(sharded, 0.3)
+        v_sort, _ = threshold_global(score, 0.3)
+        np.testing.assert_array_equal(np.asarray(jax.device_get(v_hist)),
+                                      np.asarray(jax.device_get(v_sort)))
+
+
 def test_dp_tp_mesh_generate():
     cfg = tiny_config("llama")
     mesh = make_mesh(8, tp=4)  # data=2, model=4

@@ -49,28 +49,28 @@ def test_refold_flat_preserves_attention():
         tail_len=jnp.asarray(committed, jnp.int32),
         seen=jnp.asarray(40, jnp.int32))
 
-    folded = refold_flat(cache, r_pad_new=64)
-    np.testing.assert_array_equal(
-        np.asarray(jax.device_get(folded.lengths)), lens[None] + committed)
-    assert int(jax.device_get(folded.tail_len)) == 0
-
     q = jnp.asarray(rng.standard_normal((1, H, D)), jnp.float32)
     # before: flat rows + committed tail rows + current row (index committed)
+    # (computed BEFORE refold_flat — it donates and deletes the input cache)
     want = flat_decode_attend(
         q, cache.k_flat[0], cache.v_flat[0], cache.row_head[0],
         cache.k_tail[0], cache.v_tail[0],
         jnp.asarray(committed, jnp.int32),
         scale=D ** -0.5, block=16, interpret=True)
+    cur_k = jnp.asarray(k_tail[0, :, committed:committed + 1])
+    cur_v = jnp.asarray(v_tail[0, :, committed:committed + 1])
+
+    folded = refold_flat(cache, r_pad_new=64)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(folded.lengths)), lens[None] + committed)
+    assert int(jax.device_get(folded.tail_len)) == 0
+
     # after: committed rows live in the flat part; current row re-appended
     # at tail position 0
     got = flat_decode_attend(
         q, folded.k_flat[0], folded.v_flat[0], folded.row_head[0],
-        jax.lax.dynamic_update_slice(
-            folded.k_tail[0], cache.k_tail[0, :, committed:committed + 1],
-            (0, 0, 0)),
-        jax.lax.dynamic_update_slice(
-            folded.v_tail[0], cache.v_tail[0, :, committed:committed + 1],
-            (0, 0, 0)),
+        jax.lax.dynamic_update_slice(folded.k_tail[0], cur_k, (0, 0, 0)),
+        jax.lax.dynamic_update_slice(folded.v_tail[0], cur_v, (0, 0, 0)),
         jnp.asarray(0, jnp.int32),
         scale=D ** -0.5, block=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

@@ -33,3 +33,32 @@ def test_batched_matches_sequential():
     for st in states:
         out2 = eng.generate(queries[0], st)
         assert isinstance(out2, str)
+
+
+def test_batched_flat_matches_sequential():
+    """Flat (evicted) contexts decode batched through the flat kernel
+    (VERDICT r1 item 8) — parity vs sequential single-stream decode."""
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=5, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, flat_decode="on")
+
+    ctxs = CTXS + ["A third context about the color vermilion. " * 21]
+    states = [eng.prefill(c, prefill_chunk_size=300) for c in ctxs]
+    for st, r in zip(states, (0.5, 0.4, 0.6)):  # distinct ratios -> r_pads
+        eng.prune(st, r, "pair")
+
+    from kvzip_tpu.cache import FlatKV
+    assert all(isinstance(st.cache, FlatKV) for st in states)
+
+    queries = [eng.apply_template("What word is hidden?"),
+               eng.apply_template("Which number appears?"),
+               eng.apply_template("Which color is named?")]
+    seq_out = [eng.generate(q, st) for q, st in zip(queries, states)]
+    bat_out = batched_generate(eng, queries, states, max_new_tokens=5)
+    assert bat_out == seq_out
+    # tails restored after the batched run
+    import jax
+    for st in states:
+        assert int(jax.device_get(st.cache.tail_len)) == 0
