@@ -57,8 +57,11 @@ def build_parser():
                          choices=("none", "int4"))
     sp_demo.add_argument("--weight_quant", type=str, default="none",
                          choices=("none", "w8a8"))
+    sp_demo.add_argument("--embed_quant", type=str, default="none",
+                         choices=("none", "int8"))
     sp_demo.add_argument("--decode_tokens", type=int, default=64,
                          help="fixed decode length for ms/token timing")
+    sp_demo.add_argument("--prefill_chunk", type=int, default=16384)
     sp_demo.add_argument("-m", "--mode", default="kvzip",
                          choices=["kvzip", "kvzip_head", "no", "full"])
     sp_demo.add_argument("--model", type=str, default="llama3.2-3b")
@@ -166,6 +169,7 @@ def cmd_demo(args):
     engine = Engine(args.model,
                     kv_quant=getattr(args, "kv_quant", "none"),
                     weight_quant=getattr(args, "weight_quant", "none"),
+                    embed_quant=getattr(args, "embed_quant", "none"),
                     max_new_tokens=max(args.decode_tokens, 64),
                     decode_budget=max(args.decode_tokens, 64) + 256)
 
@@ -199,7 +203,7 @@ def cmd_demo(args):
     stamp("Before Prefill")
 
     state = engine.prefill(
-        context, prefill_chunk_size=16384,
+        context, prefill_chunk_size=getattr(args, "prefill_chunk", 16384),
         load_score=(args.mode == "kvzip_head"),
         do_score=(args.mode in ("kvzip", "kvzip_head")))
     stamp(f"KV cache size: {state.mem_gb()} GB (live {state.used_gb()} GB). "

@@ -205,6 +205,11 @@ PRESETS = {
         num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128, rms_norm_eps=1e-6,
         rope=RopeConfig(theta=1000000.0), qk_norm=True, tie_word_embeddings=True,
         family="qwen3"),
+    "qwen3-4b": ModelConfig(
+        name="qwen3-4b", vocab_size=151936, hidden_size=2560, intermediate_size=9728,
+        num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128, rms_norm_eps=1e-6,
+        rope=RopeConfig(theta=1000000.0), qk_norm=True, tie_word_embeddings=True,
+        family="qwen3"),
     "qwen3-8b": ModelConfig(
         name="qwen3-8b", vocab_size=151936, hidden_size=4096, intermediate_size=12288,
         num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128, rms_norm_eps=1e-6,
@@ -238,6 +243,15 @@ PRESETS = {
         rope=RopeConfig(theta=1000000.0, scaling_type="linear", scaling_factor=8.0),
         rope_local=RopeConfig(theta=10000.0),
         qk_norm=True, tie_word_embeddings=True, query_scale=256 ** -0.5,
+        sliding_window=1024, sliding_window_pattern=6, family="gemma3",
+        gemma_style_norm=True, post_norms=True, hidden_act="gelu_pytorch_tanh"),
+    "gemma3-27b": ModelConfig(
+        name="gemma3-27b", vocab_size=262208, hidden_size=5376, intermediate_size=21504,
+        num_layers=62, num_heads=32, num_kv_heads=16, head_dim=128, rms_norm_eps=1e-6,
+        rope=RopeConfig(theta=1000000.0, scaling_type="linear", scaling_factor=8.0),
+        rope_local=RopeConfig(theta=10000.0),
+        # gemma3-27b scales queries by 1/sqrt(hidden/heads)=168^-0.5, not head_dim
+        qk_norm=True, tie_word_embeddings=True, query_scale=168 ** -0.5,
         sliding_window=1024, sliding_window_pattern=6, family="gemma3",
         gemma_style_norm=True, post_norms=True, hidden_act="gelu_pytorch_tanh"),
 }

@@ -122,12 +122,15 @@ class Engine:
         score_chunk_size: int = 2000,
         kv_quant: str = "none",      # "none" | "int4"
         weight_quant: str = "none",  # "none" | "w8a8"
+        embed_quant: str = "none",   # "none" | "int8" (embed + lm_head)
         flat_decode: str = "auto",   # "auto" | "on" | "off"
         mesh=None,
         seed: int = 0,
     ):
         self.config = config or resolve_config(model_name)
-        self.name = model_name
+        # checkpoint-dir names collapse to the basename for result/file tags
+        self.name = (model_name.rstrip("/").split("/")[-1]
+                     if "/" in model_name else model_name)
         self.dtype = dtype
         if self.config.is_hybrid and kv_type == "evict":
             # parity: reference forces retain for Gemma3 (model/wrapper.py:74-76)
@@ -171,6 +174,16 @@ class Engine:
                 params["layers"].get("wq"), dict):
             from kvzip_tpu.ops.quant import quantize_params_w8a8
             params = quantize_params_w8a8(params)
+        if embed_quant == "int8" and not isinstance(params["embed"], dict):
+            # halves the ~1.1 GB bf16 embed/lm_head tables of a 7B model —
+            # the 480k-ctx demo does not fit on 16 GB without this (QServe
+            # keeps them fp16, so this is opt-in)
+            from kvzip_tpu.ops.quant import quantize_embed_int8
+            params = dict(params)
+            params["embed"] = quantize_embed_int8(params["embed"], dtype)
+            if "lm_head" in params:
+                params["lm_head"] = quantize_embed_int8(params["lm_head"],
+                                                        dtype)
         self.mesh = mesh
         if mesh is not None:
             from kvzip_tpu.parallel import shard_params

@@ -5,15 +5,23 @@ to the code block, compare against each candidate needle function with
 smoothed sentence-BLEU, call it correct when the best match is the target
 function and similarity >= threshold (pass@1 at 0.8).
 
-The reference strips comments with tree-sitter; tree-sitter is not available
-in this environment, so comment stripping is regex-based per language. BLEU
-uses nltk when present, else the native/pure fallback in this module.
+The reference strips comments with tree-sitter (`repo_qa_utils.py:105-153`);
+tree-sitter is not available in this environment, so stripping is
+LEXER-GRADE instead: Python uses the stdlib ``tokenize`` (exact comment
+tokens — identical to tree-sitter's comment nodes), and the C-like
+languages use a string-literal-aware scanner (``//``, ``/* */``, with
+backtick raw strings for go/typescript). A naive ``#.*``/``//.*`` regex
+corrupts string literals ("color: #fff", URLs) — validated against a
+fixture corpus in tests/test_harness.py. BLEU uses nltk when present,
+else the native/pure fallback in this module.
 """
 
 from __future__ import annotations
 
+import io
 import math
 import re
+import tokenize as _pytokenize
 from collections import Counter
 from typing import Dict, List
 
@@ -26,19 +34,66 @@ def sanitize_output(output: str) -> str:
     return output
 
 
-_COMMENT_RES = {
-    "python": [re.compile(r"#.*")],
-    "java": [re.compile(r"//.*"), re.compile(r"/\*.*?\*/", re.DOTALL)],
-    "cpp": [re.compile(r"//.*"), re.compile(r"/\*.*?\*/", re.DOTALL)],
-    "rust": [re.compile(r"//.*"), re.compile(r"/\*.*?\*/", re.DOTALL)],
-    "typescript": [re.compile(r"//.*"), re.compile(r"/\*.*?\*/", re.DOTALL)],
-    "go": [re.compile(r"//.*"), re.compile(r"/\*.*?\*/", re.DOTALL)],
-}
+def _strip_python_comments(source: str) -> str:
+    """Exact comment removal via the Python lexer; falls back to a
+    careful regex only if the snippet does not tokenize (truncated code)."""
+    try:
+        lines = source.splitlines(keepends=True)
+        spans = []  # (row, col_start) -> cut to EOL
+        for tok in _pytokenize.generate_tokens(io.StringIO(source).readline):
+            if tok.type == _pytokenize.COMMENT:
+                spans.append((tok.start[0] - 1, tok.start[1]))
+        for row, col in spans:
+            nl = "\n" if lines[row].endswith("\n") else ""
+            lines[row] = lines[row][:col] + nl
+        return "".join(lines)
+    except Exception:
+        return re.sub(r"(?m)(?<![\"'])#.*$", "", source)
+
+
+def _strip_c_comments(source: str, raw_strings: bool = False) -> str:
+    """String-aware // and /* */ removal (java/cpp/rust/typescript/go)."""
+    out = []
+    i, n = 0, len(source)
+    while i < n:
+        c = source[i]
+        if c in "\"'" or (raw_strings and c == "`"):
+            quote = c
+            out.append(c)
+            i += 1
+            while i < n:
+                out.append(source[i])
+                if source[i] == "\\" and quote != "`" and i + 1 < n:
+                    out.append(source[i + 1])
+                    i += 2
+                    continue
+                if source[i] == quote:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if c == "/" and i + 1 < n and source[i + 1] == "/":
+            while i < n and source[i] != "\n":
+                i += 1
+            continue
+        if c == "/" and i + 1 < n and source[i + 1] == "*":
+            i += 2
+            while i + 1 < n and not (source[i] == "*" and source[i + 1] == "/"):
+                i += 1
+            i = min(i + 2, n)
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def remove_comments(source: str, lang: str) -> str:
-    for pat in _COMMENT_RES.get(lang, []):
-        source = pat.sub("", source)
+    if lang == "python":
+        source = _strip_python_comments(source)
+    elif lang in ("java", "cpp", "rust"):
+        source = _strip_c_comments(source)
+    elif lang in ("typescript", "go"):
+        source = _strip_c_comments(source, raw_strings=True)
     return "\n".join(l for l in source.splitlines() if l.strip())
 
 

@@ -59,10 +59,12 @@ def forward_hybrid(
     L, Hkv = cfg.num_layers, cfg.num_kv_heads
     Dh, H = cfg.head_dim, cfg.num_heads
     scale = cfg.query_scale if cfg.query_scale is not None else Dh ** -0.5
-    dtype = params["embed"].dtype
+    emb = params["embed"]
+    dtype = emb["s"].dtype if isinstance(emb, dict) else emb.dtype
     window = int(cfg.sliding_window)
 
-    x = params["embed"][ids]
+    from kvzip_tpu.ops.quant import embed_lookup
+    x = embed_lookup(emb, ids)
     if cfg.gemma_style_norm:
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, dtype)
 
@@ -202,10 +204,10 @@ def forward_hybrid(
 
     logits = None
     if collect_logits != "none":
+        from kvzip_tpu.ops.quant import head_logits
         xf = x if collect_logits == "all" else x[-1:]
         xf = rms_norm(xf, params["final_norm"], cfg.rms_norm_eps,
                       gemma=cfg.gemma_style_norm)
-        head = params.get("lm_head", params["embed"])
-        logits = xf @ head.T
+        logits = head_logits(params.get("lm_head", params["embed"]), xf)
 
     return ForwardResult(logits, new_cache, scores if scoring else None)

@@ -115,6 +115,41 @@ def int8_linear(x: jax.Array, wq: jax.Array, ws: jax.Array,
     return int8_matmul(xq, xs, wq, ws, bias, x.dtype)
 
 
+def quantize_embed_int8(w: jax.Array, model_dtype=jnp.bfloat16) -> dict:
+    """Embedding / lm_head table (V, D) -> {"q": int8, "s": (V,)}.
+
+    Per-row (= per vocab entry) scales: exact per-channel semantics for the
+    lm_head matmul (logits_v = s_v * (x . q_v)) and a cheap row-rescale for
+    embedding lookups. Halves the 2x ~1.1 GB bf16 tables of a 7B model —
+    needed to fit the 480k demo on one 16 GB chip. (The QServe reference
+    keeps these fp16; opt-in via Engine(embed_quant="int8").)
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-1)
+    s = amax / 127.0 + EPS
+    q = jnp.clip(jnp.round(wf / s[:, None]), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s.astype(model_dtype)}
+
+
+def embed_lookup(emb, ids: jax.Array):
+    """Row lookup for a plain or int8-quantized embedding table."""
+    if isinstance(emb, dict):
+        dtype = emb["s"].dtype
+        return emb["q"][ids].astype(dtype) * emb["s"][ids][:, None]
+    return emb[ids]
+
+
+def head_logits(head, xf: jax.Array) -> jax.Array:
+    """lm_head projection for a plain (V, D) table or an int8 dict."""
+    if isinstance(head, dict):
+        xq, xs = quantize_act_int8(xf)
+        acc = jax.lax.dot_general(xq, head["q"], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * xs
+                * head["s"].astype(jnp.float32)[None]).astype(xf.dtype)
+    return xf @ head.T
+
+
 def quantize_params_w8a8(params: dict) -> dict:
     """Quantize every projection weight to W8 per-channel (QServe-style).
 

@@ -136,3 +136,37 @@ def test_int4_evict_matches_retain():
     kept_r = np.asarray(jax.device_get(
         st_r.cache.valid))[:, :, :st_r.prefill_len].sum(-1)
     np.testing.assert_array_equal(kept_e, kept_r)
+
+
+def test_embed_head_int8_close():
+    """int8 embed lookup + lm_head projection track the bf16 tables."""
+    from kvzip_tpu.ops.quant import (embed_lookup, head_logits,
+                                     quantize_embed_int8)
+
+    rng = np.random.default_rng(5)
+    V, D = 97, 64
+    w = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    q = quantize_embed_int8(w, jnp.float32)
+
+    ids = jnp.asarray([0, 3, 96, 50])
+    x = embed_lookup(q, ids)
+    rel = np.abs(np.asarray(x - w[ids])).max() / np.abs(np.asarray(w)).max()
+    assert rel < 0.02
+
+    xf = jnp.asarray(rng.standard_normal((2, D)), jnp.float32)
+    got = head_logits(q, xf)
+    want = xf @ w.T
+    rel = np.abs(np.asarray(got - want)).max() / np.abs(np.asarray(want)).max()
+    assert rel < 0.05
+
+
+def test_engine_embed_quant_pipeline():
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=4, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, embed_quant="int8", flat_decode="on")
+    st = eng.prefill(CTX, prefill_chunk_size=300)
+    eng.prune(st, 0.5, "pair")
+    out = eng.generate(eng.apply_template("What is the launch code?"), st)
+    assert isinstance(out, str)
