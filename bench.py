@@ -77,7 +77,8 @@ def _full_flat_state(eng, state):
 
 
 def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
-        weight_quant: str = "none", kv_quant: str = "none"):
+        weight_quant: str = "none", kv_quant: str = "none",
+        embed_quant: str = "none"):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +103,8 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
 
     eng = Engine(model_name, kv_type="evict", config=cfg, dtype=jnp.bfloat16,
                  max_new_tokens=decode_tokens, decode_budget=decode_tokens + 256,
-                 weight_quant=weight_quant, kv_quant=kv_quant)
+                 weight_quant=weight_quant, kv_quant=kv_quant,
+                 embed_quant=embed_quant)
     # benchmark decodes a fixed token count: disable EOS stopping
     eng.eos_ids = (-1,)
 
@@ -187,15 +189,18 @@ def main():
     # demo: 480k ctx on a large GPU; one 16 GB v5e chip fits 131k). Fallback
     # config: llama3.2-3b bf16 at 32k (fast, robust).
     configs = [
-        dict(model="qwen2.5-7b", ctx=131072, wq="w8a8", kq="int4"),
-        dict(model="llama3.2-3b", ctx=32768, wq="none", kq="none"),
+        dict(model="qwen2.5-7b", ctx=131072, wq="w8a8", kq="int4",
+             eq="int8"),
+        dict(model="llama3.2-3b", ctx=32768, wq="none", kq="none",
+             eq="none"),
     ]
     if "BENCH_MODEL" in os.environ or "BENCH_CTX" in os.environ:
         configs = [dict(
             model=os.environ.get("BENCH_MODEL", "llama3.2-3b"),
             ctx=int(os.environ.get("BENCH_CTX", 32768)),
             wq=os.environ.get("BENCH_WEIGHT_QUANT", "none"),
-            kq=os.environ.get("BENCH_KV_QUANT", "none"))]
+            kq=os.environ.get("BENCH_KV_QUANT", "none"),
+            eq=os.environ.get("BENCH_EMBED_QUANT", "none"))]
     dec = int(os.environ.get("BENCH_DECODE", 64))
     ratio = float(os.environ.get("BENCH_RATIO", 0.3))
 
@@ -203,7 +208,8 @@ def main():
     for cfg_i in configs:
         try:
             r = run(cfg_i["model"], cfg_i["ctx"], dec, ratio,
-                    weight_quant=cfg_i["wq"], kv_quant=cfg_i["kq"])
+                    weight_quant=cfg_i["wq"], kv_quant=cfg_i["kq"],
+                    embed_quant=cfg_i.get("eq", "none"))
             tag = "".join(
                 f"+{v}" for v in (cfg_i["wq"], cfg_i["kq"]) if v != "none")
             # reference headline: 2.03x decode speedup at ratio 0.3 (demo.png)

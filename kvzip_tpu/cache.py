@@ -163,10 +163,9 @@ class FlatKV:
         return float(rows * d * self.k_flat.dtype.itemsize * 2)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
-               tail_cap: int,
-               static_mask=None) -> FlatKV:
+def _build_flat(cache: KVCache, keep: jax.Array, sink: int, r_pad: int,
+                tail_cap: int,
+                static_mask=None) -> FlatKV:
     """Compact a dense cache into the flat decode layout.
 
     keep: (L, H, ctx_len) bool over the context region. r_pad: static padded
@@ -261,9 +260,8 @@ class FlatInt4KV:
         return float(rows * bytes_per_row * 2)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
-                    r_pad: int, tail_cap: int, dtype=jnp.bfloat16) -> FlatInt4KV:
+def _build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
+                     r_pad: int, tail_cap: int, dtype=jnp.bfloat16) -> FlatInt4KV:
     """Compact an INT4 cache into the flat decode layout (packed rows move
     verbatim — no requantization). K nibbles are already transposed in the
     dense cache, so the K gather lands directly in the flat transposed
@@ -499,6 +497,22 @@ def refold_flat(cache, r_pad_new: int):
         tail_len=jnp.zeros((), jnp.int32),
         seen=cache.seen,
     )
+
+
+# Jitted so the gathers' broadcast index arrays fuse instead of
+# materializing multi-GB eager temporaries at long contexts. The *_donated
+# variants free each dense array as soon as its gather completes — at 480k
+# ctx the dense cache (7.3 GB) and the flat view cannot otherwise coexist
+# on a 16 GB chip. Use the donated form whenever the dense cache dies with
+# the call (prune); the plain form when it must survive (flatten_full).
+build_flat = partial(jax.jit, static_argnums=(2, 3, 4))(_build_flat)
+build_flat_donated = partial(
+    jax.jit, static_argnums=(2, 3, 4), donate_argnums=(0,))(_build_flat)
+build_flat_int4 = partial(jax.jit, static_argnums=(2, 3, 4, 5))(
+    _build_flat_int4)
+build_flat_int4_donated = partial(
+    jax.jit, static_argnums=(2, 3, 4, 5), donate_argnums=(0,))(
+        _build_flat_int4)
 
 
 def init_cache(cfg: ModelConfig, capacity: int, dtype=jnp.bfloat16) -> KVCache:

@@ -457,13 +457,21 @@ class Engine:
         path physically compacts (reference `prune`+`prepare_init`,
         `kvcache.py:123-185`).
         """
-        assert state.score is not None, "run scoring() first"
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
 
-        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
+        # checked BEFORE the score assertion: the evict path frees the score
+        # buffer during prune, so a re-prune would otherwise hit the wrong
+        # (misleading) error. One-shot matches the reference: EvictCache
+        # prune()/prepare_init() physically flattens once and sets
+        # self.pruned (`attention/kvcache.py:123-185`); ratio sweeps use
+        # kv_type="retain" there too. A second compact here would apply an
+        # original-position mask to already-moved rows — silently wrong.
+        if isinstance(state.cache, (FlatKV, FlatInt4KV)) or (
+                state.kv_type == "evict" and state.pruned):
             raise RuntimeError(
-                "evict-path prune is one-shot (the dense cache was compacted "
-                "away); use kv_type='retain' to sweep multiple ratios")
+                "evict-path prune is one-shot (the cache was physically "
+                "compacted); use kv_type='retain' to sweep multiple ratios")
+        assert state.score is not None, "run scoring() first"
         static_layers = (self.config.static_layer_ids
                          if self.config.is_hybrid else None)
         keep, thres, true_ratio = prune_lib.prune_mask(
@@ -497,9 +505,12 @@ class Engine:
             # free it before the compaction gather (216 MB at 480k ctx)
             state.score = None
             if self._use_flat(state):
-                # flat decode layout: HBM reads = true compressed footprint
-                from kvzip_tpu.cache import (Int4KVCache, build_flat,
-                                             build_flat_int4)
+                # flat decode layout: HBM reads = true compressed footprint.
+                # donated builds: the dense cache dies here, freeing each
+                # array as its gather completes (480k does not fit otherwise)
+                from kvzip_tpu.cache import (Int4KVCache,
+                                             build_flat_donated,
+                                             build_flat_int4_donated)
 
                 per_layer = np.asarray(jax.device_get(keep.sum(axis=(1, 2))))
                 # 8192 granularity: lets the flat kernels run 8192-row blocks
@@ -509,12 +520,13 @@ class Engine:
                     int(per_layer.max())
                     + state.sink * self.config.num_kv_heads, 8192)
                 if isinstance(state.cache, Int4KVCache):
-                    state.cache = build_flat_int4(
+                    state.cache = build_flat_int4_donated(
                         state.cache, keep, state.sink, r_pad,
                         self.decode_budget, self.dtype)
                 else:
-                    state.cache = build_flat(state.cache, keep, state.sink,
-                                             r_pad, self.decode_budget)
+                    state.cache = build_flat_donated(
+                        state.cache, keep, state.sink, r_pad,
+                        self.decode_budget)
             else:
                 kept_rows = int(jax.device_get(
                     keep.sum(axis=-1).max())) + state.sink

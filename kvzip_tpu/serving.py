@@ -77,6 +77,52 @@ def unstack_caches(batched: KVCache, n: int) -> List[KVCache]:
     return [jax.tree.map(lambda x: x[i], batched) for i in range(n)]
 
 
+class Scheduler:
+    """Minimal admission scheduler for batched decode.
+
+    Requests (query, state) queue up; ``run`` drains them FIFO in batches of
+    compatible states (same cache class — flat int4, flat bf16 and dense
+    states cannot stack) and decodes each batch with one vmapped loop. The
+    reference has no serving layer at all (SURVEY §2b); this is the net-new
+    admission path for the flat-decode batch kernel.
+    """
+
+    def __init__(self, engine: Engine, max_batch: int = 8):
+        self.engine = engine
+        self.max_batch = max_batch
+        self._queue: List[tuple] = []
+
+    def submit(self, query, state: KVState, max_new_tokens=None) -> int:
+        """Enqueue one request; returns its request id."""
+        rid = len(self._queue)
+        self._queue.append((rid, query, state, max_new_tokens))
+        return rid
+
+    def run(self) -> List[str]:
+        """Drain the queue; returns outputs ordered by request id."""
+        out: dict = {}
+        pending = list(self._queue)
+        self._queue.clear()
+        while pending:
+            head_type = type(pending[0][2].cache)
+            batch = [r for r in pending
+                     if isinstance(r[2].cache, head_type)][:self.max_batch]
+            pending = [r for r in pending if r not in batch]
+            max_new = max((r[3] or self.engine.max_new_tokens)
+                          for r in batch)
+            if len(batch) == 1:
+                rid, q, st, mn = batch[0]
+                out[rid] = self.engine.generate(
+                    q, st, max_new_tokens=mn or self.engine.max_new_tokens)
+                continue
+            results = batched_generate(
+                self.engine, [r[1] for r in batch], [r[2] for r in batch],
+                max_new_tokens=max_new)
+            for (rid, *_), text in zip(batch, results):
+                out[rid] = text
+        return [out[i] for i in sorted(out)]
+
+
 def batched_generate(
     engine: Engine,
     queries: Sequence[np.ndarray],

@@ -85,8 +85,14 @@ def test_retain_equals_evict():
         np.asarray(jax.device_get(st_e.score)), rtol=1e-4, atol=1e-4)
 
     q = eng_r.apply_template("What is the passcode?")
+    score_e = st_e.score
     for ratio in (0.7, 0.4):
         eng_r.prune(st_r, ratio, "pair")
+        # evict prune is one-shot (reference kvcache.py:123-185: prepare_init
+        # flattens once) — re-prefill per ratio, reusing the scores
+        if st_e.pruned:
+            st_e = eng_e.prefill(CTX, prefill_chunk_size=300, do_score=False)
+            st_e.score = score_e
         eng_e.prune(st_e, ratio, "pair")
 
         # identical kept sets: retained-mask row counts == compacted lengths
@@ -100,6 +106,10 @@ def test_retain_equals_evict():
         p_r = eng_r.prob(q, st_r)
         p_e = eng_e.prob(q, st_e)
         np.testing.assert_allclose(p_r, p_e, atol=3e-3, rtol=0)
+
+    # a second prune on the SAME evicted state must refuse loudly
+    with pytest.raises(RuntimeError, match="one-shot"):
+        eng_e.prune(st_e, 0.2, "pair")
 
 
 def test_evict_cache_shrinks():

@@ -35,6 +35,41 @@ def test_batched_matches_sequential():
         assert isinstance(out2, str)
 
 
+def test_scheduler_mixed_cache_types():
+    """The scheduler groups compatible cache types and preserves request
+    order: dense retain + flat evict states in one queue."""
+    from kvzip_tpu.serving import Scheduler
+
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng_r = Engine("tiny-llama", kv_type="retain", config=cfg,
+                   dtype=jnp.float32, max_new_tokens=5, decode_budget=256,
+                   capacity_granularity=256, score_chunk_size=256)
+    eng_e = Engine("tiny-llama", kv_type="evict", config=cfg,
+                   dtype=jnp.float32, params=eng_r.params,
+                   tokenizer=eng_r.tokenizer, max_new_tokens=5,
+                   decode_budget=256, capacity_granularity=256,
+                   score_chunk_size=256, flat_decode="on")
+
+    st_r = eng_r.prefill(CTXS[0], prefill_chunk_size=300)
+    eng_r.prune(st_r, 0.5, "pair")
+    st_e1 = eng_e.prefill(CTXS[0], prefill_chunk_size=300)
+    eng_e.prune(st_e1, 0.5, "pair")
+    st_e2 = eng_e.prefill(CTXS[1], prefill_chunk_size=300)
+    eng_e.prune(st_e2, 0.5, "pair")
+
+    q = eng_r.apply_template("What word is hidden?")
+    want = [eng_e.generate(q, st_e1), eng_r.generate(q, st_r),
+            eng_e.generate(q, st_e2)]
+
+    sched = Scheduler(eng_e, max_batch=4)
+    sched.submit(q, st_e1)
+    sched.submit(q, st_r)
+    sched.submit(q, st_e2)
+    got = sched.run()
+    assert got == want
+
+
 def test_batched_flat_matches_sequential():
     """Flat (evicted) contexts decode batched through the flat kernel
     (VERDICT r1 item 8) — parity vs sequential single-stream decode."""

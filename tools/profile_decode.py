@@ -102,6 +102,46 @@ def main():
     dt = timeit("decode loop (64 steps)", full_loop, reps=2)
     log(f"  -> {dt / STEPS * 1e3:.2f} ms/tok")
 
+    run8 = eng._decode_loop(7, cache.capacity, "flash")
+
+    def loop8():
+        nonlocal cache
+        tokens, n, done, cache2 = run8(params, cache, jnp.int32(42))
+        cache = dataclasses_replace_tail(cache2)
+        return tokens
+
+    import time as _t2
+    loop8()
+    t0 = _t2.time(); jax.device_get(loop8()); t8f = _t2.time() - t0
+    t0 = _t2.time(); jax.device_get(full_loop()); t64f = _t2.time() - t0
+    log(f"full loop slope: {(t64f - t8f) / 56 * 1e3:.2f} ms/step "
+        f"(t8={t8f * 1e3:.0f} t64={t64f * 1e3:.0f})")
+
+    # ---- 1b. fixed-token loop (no lm_head/argmax): isolates forward ----
+    from functools import partial as _p
+
+    @_p(jax.jit, static_argnames=("n",), donate_argnames=("c",))
+    def loop_fixed(params, c, n):
+        def body(i, c):
+            res = forward(params, cfg, jnp.asarray([42], jnp.int32), c,
+                          collect_logits="none", attn_impl="flash")
+            return res.cache
+        return jax.lax.fori_loop(0, n, body, c)
+
+    def fixed_loop(n):
+        nonlocal cache
+        c2 = loop_fixed(params, cache, n)
+        cache = dataclasses_replace_tail(c2)
+        return cache.tail_len
+
+    import time as _t
+    fixed_loop(8)
+    t0 = _t.time(); jax.device_get(fixed_loop(8)); t8 = _t.time() - t0
+    fixed_loop(64)
+    t0 = _t.time(); jax.device_get(fixed_loop(64)); t64 = _t.time() - t0
+    log(f"fixed-token loop slope: {(t64 - t8) / 56 * 1e3:.2f} ms/step "
+        f"(t8={t8 * 1e3:.0f} t64={t64 * 1e3:.0f}) — forward-only cost")
+
     # ---- 2. forward single step, with and without lm_head ----
     def fwd(collect):
         nonlocal cache
