@@ -18,6 +18,10 @@ Same masking semantics as ``ops.flash`` but the K/V blocks arrive packed
   (p . z_v) — both matmuls run directly against the raw nibble values, no
   dequantized tiles are ever built. The PV contraction runs in f32 (f32 NT
   escapes the bf16 NT slow path).
+- **lo-only unpack**: the matmuls run against the raw PACKED bytes plus the
+  low nibbles only (b = 16*hi + lo  =>  q.x = (q_hi/16).b + (q_lo-q_hi/16).lo)
+  so the shift/concat half of the unpack chain disappears; the softmax scale
+  is folded into the streamed K scale/zero columns host-side.
 
 HBM traffic for the int4 prefill is ~4x below the bf16 path.
 """
@@ -37,7 +41,7 @@ NEG_INF = float("-inf")
 def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
             o_ref, kq_buf, ksz_buf, vq_buf, vsz_buf, sem,
             m_scr, l_scr, acc_scr,
-            *, block_q: int, block_k: int, scale: float, dtype):
+            *, block_q: int, block_k: int, dtype):
     h = pl.program_id(0)
     qb = pl.program_id(1)
     G = q_ref.shape[1]
@@ -53,6 +57,8 @@ def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
 
     q = q_ref[0].reshape(rows, D)
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # (rows, 1)
+    q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
+    q_lo = q[:, D // 2:] - q_hi
 
     m_scr[...] = jnp.full((rows, 1), NEG_INF, jnp.float32)
     l_scr[...] = jnp.zeros((rows, 1), jnp.float32)
@@ -102,15 +108,25 @@ def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
         dma_vq(b, slot).wait()
         dma_vsz(b, slot).wait()
 
-        # scores: q @ nibbles (NN), then column scale + zero-point correction
+        # scores: lo-only unpack + packed-byte matmul. Split packing means
+        # byte row j = 16*x_j + x_{j+D/2}, so
+        #   q . x = (q_hi/16) . b + (q_lo - q_hi/16) . lo,  lo = b & 15
+        # — the high nibble never materializes (the full unpack chain is
+        # ~7 VPU ops/packed byte and this kernel is VPU-co-bound;
+        # tools/probe_flat_unpack.py measured 4.6x on the decode variant).
+        # ks/kz arrive pre-multiplied by the softmax scale (host side).
         kpi = kq_buf[slot].astype(jnp.int32)            # (D//2, BK) packed
-        kn = jnp.concatenate([kpi >> 4, kpi & 0xF], axis=0).astype(q.dtype)
-        qn = jax.lax.dot_general(
-            q, kn, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (rows, BK)
+        kB = kpi.astype(q.dtype)
+        kLO = (kpi & 0xF).astype(q.dtype)
+        qn = (jax.lax.dot_general(
+            q_hi, kB, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                q_lo, kLO, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))     # (rows, BK)
         ks = ksz_buf[slot, 0:1]                          # (1, BK) f32
         kz = ksz_buf[slot, 1:2]
-        s = (qn * ks + qsum * kz) * scale
+        s = qn * ks + qsum * kz
 
         col = col_local + b * BK
         mask = col < (base + qb * BQ + row_q + 1)
@@ -119,18 +135,26 @@ def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
         m_prev = m_scr[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
-        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        # exp(-inf) == 0 covers masked columns; every causal row sees at
+        # least its own key so m_new is finite (no NaN from -inf - -inf)
+        p = jnp.exp(s - m_new)
         l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
 
-        # output: (p * s_v) @ nibbles^T (f32 NT) + zero-point correction
+        # output: same lo-only identity on the value side (f32 NT):
+        #   out_hi = (ps . b - ps . lo) / 16,   out_lo = ps . lo
         vpi = vq_buf[slot].astype(jnp.int32)             # (D//2, BK) packed
-        vn = jnp.concatenate(
-            [vpi >> 4, vpi & 0xF], axis=0).astype(jnp.float32)  # (D, BK)
+        vB = vpi.astype(jnp.float32)
+        vLO = (vpi & 0xF).astype(jnp.float32)
         ps = p * vsz_buf[slot, 0:1]                      # (rows, BK) f32
         pz = jnp.sum(p * vsz_buf[slot, 1:2], axis=1, keepdims=True)
-        acc_scr[...] = acc_scr[...] * alpha + pz + jax.lax.dot_general(
-            ps, vn, (((1,), (1,)), ((), ())),
+        m1 = jax.lax.dot_general(
+            ps, vB, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (rows, D//2)
+        m2 = jax.lax.dot_general(
+            ps, vLO, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
+        upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
+        acc_scr[...] = acc_scr[...] * alpha + pz + upd
         m_scr[...] = m_new
         return 0
 
@@ -171,7 +195,9 @@ def flash_attend_int4(
         BK //= 2
 
     qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
-    k_sz = jnp.stack([k_s, k_z], axis=1).astype(jnp.float32)  # (Hkv, 2, C)
+    # softmax scale folded into the K scale/zero columns: one pass over the
+    # (Hkv, 2, C) stack here instead of a per-element multiply in the kernel
+    k_sz = jnp.stack([k_s, k_z], axis=1).astype(jnp.float32) * scale
     v_sz = jnp.stack([v_s, v_z], axis=1).astype(jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -198,7 +224,7 @@ def flash_attend_int4(
         ],
     )
     kernel = functools.partial(
-        _kernel, block_q=BQ, block_k=BK, scale=scale, dtype=q.dtype)
+        _kernel, block_q=BQ, block_k=BK, dtype=q.dtype)
 
     out = pl.pallas_call(
         kernel,

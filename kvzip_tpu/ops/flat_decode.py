@@ -154,12 +154,24 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     q_kvhead = (r_ids // n_q) // g
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # (HT, 1)
 
-    # ---- scores: q @ nibbles (NN), then column scale + zero correction ----
+    # ---- scores: lo-only unpack + packed-byte matmul ----
+    # split packing: byte row j holds 16*x_j + x_{j+D/2}, so
+    #   q . x = (q_hi/16) . b  +  (q_lo - q_hi/16) . lo,   lo = b & 15
+    # — the high nibble is never materialized. The full unpack chain
+    # (cast/shift/and/2 casts/concat ~= 7 VPU ops per packed byte) pinned
+    # this kernel at ~175 GB/s regardless of block size (VPU-bound, ~1e12
+    # ops/s); this form measured 391 GB/s (tools/probe_flat_unpack.py B).
     kpi = kq_ref[...].astype(jnp.int32)           # (D//2, BLK) packed
-    kn = jnp.concatenate([kpi >> 4, kpi & 0xF], axis=0).astype(q.dtype)
-    qn = jax.lax.dot_general(
-        q, kn, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (HT, BLK)
+    kB = kpi.astype(q.dtype)
+    kLO = (kpi & 0xF).astype(q.dtype)
+    q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
+    q_lo = q[:, D // 2:] - q_hi
+    qn = (jax.lax.dot_general(
+        q_hi, kB, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(
+            q_lo, kLO, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))   # (HT, BLK)
     ks = ks_ref[...]                               # (1, BLK) f32
     kz = kz_ref[...]
     s = (qn * ks + qsum * kz) * scale
@@ -173,14 +185,21 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[...] = m_new
 
-    # ---- output: (p * s_v) @ nibbles (NN) + zero correction ----
+    # ---- output: lo-only unpack, same identity on the value side ----
+    #   out_hi = (ps.b - ps.lo) / 16,   out_lo = ps.lo
     vpi = vq_ref[...].astype(jnp.int32)            # (BLK, D//2) packed
-    vn = jnp.concatenate([vpi >> 4, vpi & 0xF], axis=1).astype(q.dtype)
+    vB = vpi.astype(q.dtype)
+    vLO = (vpi & 0xF).astype(q.dtype)
     ps = (p * vs_ref[...]).astype(q.dtype)         # (HT, BLK)
     pz = jnp.sum(p * vz_ref[...], axis=1, keepdims=True)  # (HT, 1) f32
-    acc_scr[...] = (acc_scr[...] * alpha + pz + jax.lax.dot_general(
-        ps, vn, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))
+    m1 = jax.lax.dot_general(
+        ps, vB, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (HT, D//2)
+    m2 = jax.lax.dot_general(
+        ps, vLO, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
+    acc_scr[...] = acc_scr[...] * alpha + pz + upd
 
     @pl.when(kb == nb - 1)
     def _():
