@@ -9,7 +9,7 @@ native:
 	$(MAKE) -C csrc
 
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q  # xdist-sharded via pyproject addopts
 
 bench:
 	python bench.py

@@ -223,7 +223,12 @@ class FlatInt4KV:
     """
 
     k_flat_q: jax.Array  # (L, D//2, R_pad) uint8 — K nibbles TRANSPOSED
-    v_flat_q: jax.Array  # (L, R_pad, D//2) uint8
+    v_flat_q: jax.Array  # (L, D//2, R_pad) uint8 — V nibbles TRANSPOSED too:
+    #   a row-major (R_pad, 64) uint8 array gets a (8,128) minor tile, i.e.
+    #   XLA pads the 64-wide minor dim to 128 — 2x HBM at rest AND 2x decode
+    #   read traffic. Transposed, the minor dim is R_pad (tile-aligned); the
+    #   PV matmul runs f32 NT in the kernel (the fast NT form, like the int4
+    #   flash prefill kernel).
     k_flat_s: jax.Array  # (L, R_pad) scales
     k_flat_z: jax.Array  # (L, R_pad) zero points
     v_flat_s: jax.Array
@@ -289,16 +294,20 @@ def _build_flat_int4(cache: Int4KVCache, keep: jax.Array, sink: int,
 
     def gather_kt(a):
         # a (L, H, Dp, C): flat row r comes from head take[r]//C, col
-        # take[r]%C — gather columns of the (Dp, H*C) view
-        av = a.transpose(0, 2, 1, 3).reshape(L, Dp, H * C)
-        out = jnp.take_along_axis(av, take[:, None, :], axis=2)
-        return jnp.where(kept[:, None, :], out, 0)
+        # take[r]%C — gather columns of the (Dp, H*C) view. Per-layer
+        # lax.map: the all-layer vectorized form materializes the whole
+        # transposed cache as one padded temp (8.8 GB at 3B/320k — OOM)
+        def one(args):
+            a_l, take_l, kept_l = args
+            av = a_l.transpose(1, 0, 2).reshape(Dp, H * C)
+            out = jnp.take_along_axis(av, take_l[None, :], axis=1)
+            return jnp.where(kept_l[None, :], out, 0)
+
+        return jax.lax.map(one, (a, take, kept))
 
     return FlatInt4KV(
         k_flat_q=gather_kt(cache.k_q),
-        # the flat decode kernel streams V row-major (pipelined blocks);
-        # one materialized transpose at prune time
-        v_flat_q=gather_kt(cache.v_q).transpose(0, 2, 1),
+        v_flat_q=gather_kt(cache.v_q),
         # scales/zeros stored f32: the decode kernel consumes f32 rows, so
         # storing bf16 would re-cast 4 (R,) arrays per layer every step
         k_flat_s=gather3(cache.k_s)[..., 0].astype(jnp.float32),
@@ -485,7 +494,7 @@ def refold_flat(cache, r_pad_new: int):
 
     return FlatInt4KV(
         k_flat_q=cat_cols(cache.k_flat_q, ktq),
-        v_flat_q=cat_rows(cache.v_flat_q, vtq),
+        v_flat_q=cat_cols(cache.v_flat_q, vtq),
         k_flat_s=cat1(cache.k_flat_s, kts),
         k_flat_z=cat1(cache.k_flat_z, ktz),
         v_flat_s=cat1(cache.v_flat_s, vts),

@@ -353,7 +353,7 @@ class Engine:
             cache = init_int4_cache(self.config, capacity, self.dtype)
         else:
             cache = init_cache(self.config, capacity, self.dtype)
-        if self.mesh is not None and not self.config.is_hybrid:
+        if self.mesh is not None:
             from kvzip_tpu.parallel import shard_cache
             cache = shard_cache(self.mesh, cache)
 

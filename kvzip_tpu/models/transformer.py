@@ -259,17 +259,21 @@ def forward(
             from kvzip_tpu.ops.flat_decode import (flat_decode_attend,
                                                    flat_decode_attend_int4)
             interp_flag = attn_impl == "flash_interpret"
-            per_layer_flat = tuple(a[layer_idx] for a in flat_arrays)
+            # stacked arrays + layer scalar: the kernel's index maps select
+            # the layer, so no a[layer_idx] dynamic-slice COPY of the
+            # multi-MB flat context is materialized per scan iteration
+            # (that copy tripled decode attention HBM traffic)
             if is_flat_int4:
                 attn_out = flat_decode_attend_int4(
-                    q, *per_layer_flat, flat_rh_all[layer_idx],
+                    q, *flat_arrays, flat_rh_all,
                     layer_store[0], layer_store[1], tail_len0, scale=scale,
-                    interpret=interp_flag)
+                    interpret=interp_flag, layer=layer_idx)
             else:
                 attn_out = flat_decode_attend(
-                    q, per_layer_flat[0], per_layer_flat[1],
-                    flat_rh_all[layer_idx], layer_store[0], layer_store[1],
-                    tail_len0, scale=scale, interpret=interp_flag)
+                    q, flat_arrays[0], flat_arrays[1],
+                    flat_rh_all, layer_store[0], layer_store[1],
+                    tail_len0, scale=scale, interpret=interp_flag,
+                    layer=layer_idx)
         elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
             use_kernel = (attn_impl in ("flash", "flash_interpret")

@@ -81,9 +81,9 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
 
     # ---- flat context block (K transposed: (D, BLK) -> NN matmul) ----
     s = jax.lax.dot_general(
-        q, kf_ref[...], (((1,), (0,)), ((), ())),
+        q, kf_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (HT, block)
-    rh = rh_ref[...]  # (1, block) head id per flat row (-1 pad)
+    rh = rh_ref[0]  # (1, block) head id per flat row (-1 pad)
     mask = rh == q_kvhead
     s = jnp.where(mask, s, NEG_INF)
     m_prev = m_scr[...]
@@ -93,7 +93,7 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
     l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_scr[...] = m_new
     acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-        p.astype(vf_ref.dtype), vf_ref[...], (((1,), (0,)), ((), ())),
+        p.astype(vf_ref.dtype), vf_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     # ---- tail (query/answer KV) folded in at the last step ----
@@ -161,7 +161,7 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     # (cast/shift/and/2 casts/concat ~= 7 VPU ops per packed byte) pinned
     # this kernel at ~175 GB/s regardless of block size (VPU-bound, ~1e12
     # ops/s); this form measured 391 GB/s (tools/probe_flat_unpack.py B).
-    kpi = kq_ref[...].astype(jnp.int32)           # (D//2, BLK) packed
+    kpi = kq_ref[0].astype(jnp.int32)             # (D//2, BLK) packed
     kB = kpi.astype(q.dtype)
     kLO = (kpi & 0xF).astype(q.dtype)
     q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
@@ -172,11 +172,11 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
         + jax.lax.dot_general(
             q_lo, kLO, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))   # (HT, BLK)
-    ks = ks_ref[...]                               # (1, BLK) f32
-    kz = kz_ref[...]
+    ks = ks_ref[0]                                 # (1, BLK) f32
+    kz = kz_ref[0]
     s = (qn * ks + qsum * kz) * scale
 
-    mask = rh_ref[...] == q_kvhead
+    mask = rh_ref[0] == q_kvhead
     s = jnp.where(mask, s, NEG_INF)
     m_prev = m_scr[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -187,16 +187,19 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
 
     # ---- output: lo-only unpack, same identity on the value side ----
     #   out_hi = (ps.b - ps.lo) / 16,   out_lo = ps.lo
-    vpi = vq_ref[...].astype(jnp.int32)            # (BLK, D//2) packed
-    vB = vpi.astype(q.dtype)
-    vLO = (vpi & 0xF).astype(q.dtype)
-    ps = (p * vs_ref[...]).astype(q.dtype)         # (HT, BLK)
-    pz = jnp.sum(p * vz_ref[...], axis=1, keepdims=True)  # (HT, 1) f32
+    # V nibbles arrive TRANSPOSED (D//2, BLK) — minor dim BLK keeps the
+    # uint8 array tile-aligned in HBM (row-major (R, 64) pads 2x). The
+    # contraction is f32 NT (fast; only bf16 NT is the Mosaic slow path).
+    vpi = vq_ref[0].astype(jnp.int32)              # (D//2, BLK) packed
+    vB = vpi.astype(jnp.float32)
+    vLO = (vpi & 0xF).astype(jnp.float32)
+    ps = p * vs_ref[0]                             # (HT, BLK) f32
+    pz = jnp.sum(p * vz_ref[0], axis=1, keepdims=True)  # (HT, 1) f32
     m1 = jax.lax.dot_general(
-        ps, vB, (((1,), (0,)), ((), ())),
+        ps, vB, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)        # (HT, D//2)
     m2 = jax.lax.dot_general(
-        ps, vLO, (((1,), (0,)), ((), ())),
+        ps, vLO, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
     acc_scr[...] = acc_scr[...] * alpha + pz + upd
@@ -231,13 +234,13 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     jax.jit, static_argnames=("scale", "block", "interpret"))
 def flat_decode_attend_int4(
     q: jax.Array,          # (T, H, D)
-    k_flat_q: jax.Array,   # (D//2, R_pad) uint8 — TRANSPOSED nibbles
-    k_flat_s: jax.Array,   # (R_pad,)
+    k_flat_q: jax.Array,   # ([L,] D//2, R_pad) uint8 — TRANSPOSED nibbles
+    k_flat_s: jax.Array,   # ([L,] R_pad)
     k_flat_z: jax.Array,
-    v_flat_q: jax.Array,   # (R_pad, D//2) uint8
+    v_flat_q: jax.Array,   # ([L,] D//2, R_pad) uint8 — TRANSPOSED
     v_flat_s: jax.Array,
     v_flat_z: jax.Array,
-    row_head: jax.Array,   # (R_pad,) int32
+    row_head: jax.Array,   # ([L,] R_pad) int32
     k_tail: jax.Array,     # (Hkv, T_cap, D) bf16
     v_tail: jax.Array,
     tail_len: jax.Array,
@@ -245,32 +248,47 @@ def flat_decode_attend_int4(
     scale: float,
     block: int = 8192,
     interpret: bool = False,
+    layer: jax.Array = None,  # () int32 — REQUIRED with stacked (L, ...) args
 ) -> jax.Array:
+    """Pass the FULL stacked cache arrays plus ``layer`` when calling from a
+    per-layer scan: the layer is selected inside the Pallas index maps (via a
+    prefetched scalar), so no host-side ``a[layer_idx]`` dynamic-slice COPY
+    of the multi-MB context arrays is ever materialized. That copy tripled
+    the kernel's effective HBM traffic (~190 GB/s observed vs ~396 GB/s for
+    the kernel itself — tools/probe_flat_real.py)."""
     T, H, D = q.shape
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
-    R = k_flat_q.shape[1]
+    if layer is None:
+        k_flat_q, k_flat_s, k_flat_z = (k_flat_q[None], k_flat_s[None],
+                                        k_flat_z[None])
+        v_flat_q, v_flat_s, v_flat_z = (v_flat_q[None], v_flat_s[None],
+                                        v_flat_z[None])
+        row_head = row_head[None]
+        layer = jnp.zeros((), jnp.int32)
+    R = k_flat_q.shape[2]
     BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
     q2 = q.transpose(1, 0, 2).reshape(H * T, D)
-    meta = tail_len.astype(jnp.int32)[None]
+    meta = jnp.stack([tail_len.astype(jnp.int32),
+                      layer.astype(jnp.int32)])
 
     def blk1(kb, m):
-        return (0, kb)
+        return (m[1], 0, kb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
-            pl.BlockSpec((1, BLK), blk1),
-            pl.BlockSpec((D // 2, BLK), blk1),
-            pl.BlockSpec((1, BLK), blk1),
-            pl.BlockSpec((1, BLK), blk1),
-            pl.BlockSpec((BLK, D // 2), lambda kb, m: (kb, 0)),
-            pl.BlockSpec((1, BLK), blk1),
-            pl.BlockSpec((1, BLK), blk1),
+            pl.BlockSpec((1, 1, BLK), blk1),
+            pl.BlockSpec((1, D // 2, BLK), blk1),
+            pl.BlockSpec((1, 1, BLK), blk1),
+            pl.BlockSpec((1, 1, BLK), blk1),
+            pl.BlockSpec((1, D // 2, BLK), blk1),
+            pl.BlockSpec((1, 1, BLK), blk1),
+            pl.BlockSpec((1, 1, BLK), blk1),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
         ],
@@ -291,11 +309,11 @@ def flat_decode_attend_int4(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(meta, q2, row_head.astype(jnp.int32)[None],
-      k_flat_q, k_flat_s.astype(jnp.float32)[None],
-      k_flat_z.astype(jnp.float32)[None],
-      v_flat_q, v_flat_s.astype(jnp.float32)[None],
-      v_flat_z.astype(jnp.float32)[None], k_tail, v_tail)
+    )(meta, q2, row_head.astype(jnp.int32)[:, None],
+      k_flat_q, k_flat_s.astype(jnp.float32)[:, None],
+      k_flat_z.astype(jnp.float32)[:, None],
+      v_flat_q, v_flat_s.astype(jnp.float32)[:, None],
+      v_flat_z.astype(jnp.float32)[:, None], k_tail, v_tail)
 
     return out.reshape(H, T, D).transpose(1, 0, 2)
 
@@ -304,9 +322,9 @@ def flat_decode_attend_int4(
     jax.jit, static_argnames=("scale", "block", "interpret"))
 def flat_decode_attend(
     q: jax.Array,          # (T, H, D), T <= ~64
-    k_flat: jax.Array,     # (D, R_pad) — TRANSPOSED
-    v_flat: jax.Array,     # (R_pad, D)
-    row_head: jax.Array,   # (R_pad,) int32, -1 on padding
+    k_flat: jax.Array,     # ([L,] D, R_pad) — TRANSPOSED
+    v_flat: jax.Array,     # ([L,] R_pad, D)
+    row_head: jax.Array,   # ([L,] R_pad) int32, -1 on padding
     k_tail: jax.Array,     # (Hkv, T_cap, D) — includes this block's appended rows
     v_tail: jax.Array,
     tail_len: jax.Array,   # () int32 — tail rows before this block's append
@@ -314,26 +332,33 @@ def flat_decode_attend(
     scale: float,
     block: int = 8192,
     interpret: bool = False,
+    layer: jax.Array = None,  # () int32 — REQUIRED with stacked (L, ...) args
 ) -> jax.Array:
+    """See :func:`flat_decode_attend_int4` for the stacked-``layer`` calling
+    convention (avoids the per-layer dynamic-slice copy under scan)."""
     T, H, D = q.shape
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
-    R = k_flat.shape[1]
+    if layer is None:
+        k_flat, v_flat, row_head = k_flat[None], v_flat[None], row_head[None]
+        layer = jnp.zeros((), jnp.int32)
+    R = k_flat.shape[2]
     BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
     # q rows ordered head-major: r = h * T + i
     q2 = q.transpose(1, 0, 2).reshape(H * T, D)
-    meta = tail_len.astype(jnp.int32)[None]
+    meta = jnp.stack([tail_len.astype(jnp.int32),
+                      layer.astype(jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
-            pl.BlockSpec((1, BLK), lambda kb, m: (0, kb)),
-            pl.BlockSpec((D, BLK), lambda kb, m: (0, kb)),
-            pl.BlockSpec((BLK, D), lambda kb, m: (kb, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda kb, m: (m[1], 0, kb)),
+            pl.BlockSpec((1, D, BLK), lambda kb, m: (m[1], 0, kb)),
+            pl.BlockSpec((1, BLK, D), lambda kb, m: (m[1], kb, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
         ],
@@ -354,7 +379,7 @@ def flat_decode_attend(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(meta, q2, row_head.astype(jnp.int32)[None], k_flat, v_flat,
+    )(meta, q2, row_head.astype(jnp.int32)[:, None], k_flat, v_flat,
       k_tail, v_tail)
 
     return out.reshape(H, T, D).transpose(1, 0, 2)

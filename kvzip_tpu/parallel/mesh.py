@@ -81,6 +81,35 @@ def cache_pspecs() -> "P":
     }
 
 
+# Field-name -> PartitionSpec for EVERY cache dataclass (dense KVCache,
+# Int4KVCache, gemma3 HybridKV): the kv-head axis rides "model" wherever it
+# appears; per-layer scalars/rings' position stamps stay replicated.
+# Eviction stays fully shard-local (per-head lengths/compaction), matching
+# the head-sharded design in the module docstring.
+_CACHE_FIELD_SPECS = {
+    # dense
+    "k": P(None, "model", None, None),
+    "v": P(None, "model", None, None),
+    # int4 (nibbles transposed (L, H, D/2, C); scales (L, H, C, G))
+    "k_q": P(None, "model", None, None),
+    "v_q": P(None, "model", None, None),
+    "k_s": P(None, "model", None, None),
+    "k_z": P(None, "model", None, None),
+    "v_s": P(None, "model", None, None),
+    "v_z": P(None, "model", None, None),
+    # gemma3 hybrid: static stacks + sliding ring buffers
+    "k_static": P(None, "model", None, None),
+    "v_static": P(None, "model", None, None),
+    "k_ring": P(None, "model", None, None),
+    "v_ring": P(None, "model", None, None),
+    "ring_pos": P(),
+    # common metadata
+    "lengths": P(None, "model"),
+    "valid": P(None, "model", None),
+    "seen": P(),
+}
+
+
 def _trim(tree_specs: dict, tree: dict) -> dict:
     """Keep only spec entries present in the actual pytree.
 
@@ -120,14 +149,15 @@ def shard_params(cfg: ModelConfig, mesh: Mesh, params: dict) -> dict:
 
 
 def shard_cache(mesh: Mesh, cache):
+    """device_put any cache dataclass (dense / int4 / hybrid) with the
+    head-on-"model" layout from ``_CACHE_FIELD_SPECS``."""
     import dataclasses
 
-    sh = cache_sharding(mesh)
-    return dataclasses.replace(
-        cache,
-        k=jax.device_put(cache.k, sh["k"]),
-        v=jax.device_put(cache.v, sh["v"]),
-        lengths=jax.device_put(cache.lengths, sh["lengths"]),
-        seen=jax.device_put(cache.seen, sh["seen"]),
-        valid=jax.device_put(cache.valid, sh["valid"]),
-    )
+    updates = {}
+    for f in dataclasses.fields(cache):
+        spec = _CACHE_FIELD_SPECS.get(f.name)
+        if spec is None:
+            continue
+        updates[f.name] = jax.device_put(
+            getattr(cache, f.name), NamedSharding(mesh, spec))
+    return dataclasses.replace(cache, **updates)

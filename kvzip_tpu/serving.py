@@ -39,7 +39,7 @@ def _pad_capacity(cache, capacity: int):
         return dataclasses.replace(
             cache,
             k_flat_q=jnp.pad(cache.k_flat_q, ((0, 0), (0, 0), (0, extra))),
-            v_flat_q=jnp.pad(cache.v_flat_q, ((0, 0), (0, extra), (0, 0))),
+            v_flat_q=jnp.pad(cache.v_flat_q, ((0, 0), (0, 0), (0, extra))),
             k_flat_s=jnp.pad(cache.k_flat_s, ((0, 0), (0, extra))),
             k_flat_z=jnp.pad(cache.k_flat_z, ((0, 0), (0, extra))),
             v_flat_s=jnp.pad(cache.v_flat_s, ((0, 0), (0, extra))),

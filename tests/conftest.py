@@ -1,7 +1,7 @@
 """Test config: force an 8-device virtual CPU mesh (idiomatic JAX substitute
 for multi-chip testing; see SURVEY.md §4).
 
-On-chip lane: ``KVZIP_TPU_TESTS=1 pytest -m tpu tests/`` keeps the real
+On-chip lane: ``KVZIP_TPU_TESTS=1 pytest -n 0 -m tpu tests/`` keeps the real
 backend and runs each Pallas kernel compiled+executed with parity-vs-jnp on
 small shapes (catches Mosaic regressions the CPU interpret tests cannot).
 """
@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+if TPU_LANE and os.environ.get("PYTEST_XDIST_WORKER"):
+    raise RuntimeError(
+        "the on-chip lane must run single-process (one TPU client per "
+        "tunnel): KVZIP_TPU_TESTS=1 python -m pytest -n 0 -m tpu ...")
+
 import jax  # noqa: E402
 
 if not TPU_LANE:
@@ -38,6 +43,9 @@ else:
 
 def pytest_collection_modifyitems(config, items):
     import pytest
+
+    # run the multi-device tests FIRST (fresh XLA state — see note above)
+    items.sort(key=lambda it: 0 if "test_parallel" in it.nodeid else 1)
     if TPU_LANE:
         # on-chip lane runs ONLY the tpu-marked kernel tests
         skip = pytest.mark.skip(reason="on-chip lane runs -m tpu tests only")

@@ -33,7 +33,7 @@ def test_int4_flat_kernel_matches_bf16_flat():
     vq, vs, vz = quantize_int4(jnp.asarray(v_flat), pack="split")
 
     got = flat_decode_attend_int4(
-        q, kq.T, ks[:, 0], kz[:, 0], vq, vs[:, 0], vz[:, 0],
+        q, kq.T, ks[:, 0], kz[:, 0], vq.T, vs[:, 0], vz[:, 0],
         jnp.asarray(row_head), jnp.asarray(k_tail), jnp.asarray(v_tail),
         jnp.asarray(tail_used, jnp.int32), scale=D ** -0.5, block=32,
         interpret=True)

@@ -89,3 +89,72 @@ def test_dp_tp_mesh_generate():
     eng.prune(st, 0.5, "pair")
     out = eng.generate(eng.apply_template("What is the secret word?"), st)
     assert isinstance(out, str)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_hybrid_mesh_matches_single_device():
+    """Gemma3 HybridKV (ring buffers) under TP: head-sharded static stacks
+    AND ring buffers produce the single-device scores/probs."""
+    cfg = tiny_config("gemma3")
+
+    def build(mesh):
+        return Engine("tiny-gemma3", kv_type="retain", config=cfg,
+                      dtype=jnp.float32, max_new_tokens=6, decode_budget=64,
+                      capacity_granularity=256, score_chunk_size=256,
+                      mesh=mesh, seed=5)
+
+    ref = build(None)
+    st_ref = ref.prefill(CTX, prefill_chunk_size=300)
+    mesh = make_mesh(4, tp=4)
+    eng = build(mesh)
+    st = eng.prefill(CTX, prefill_chunk_size=300)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.score)),
+        np.asarray(jax.device_get(st_ref.score)), rtol=2e-4, atol=2e-4)
+
+    ref.prune(st_ref, 0.5, "pair")
+    eng.prune(st, 0.5, "pair")
+    q = eng.apply_template("What is the secret word?")
+    p = eng.prob(q, st)
+    p_ref = ref.prob(q, st_ref)
+    np.testing.assert_allclose(p, p_ref, atol=3e-3, rtol=0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+def test_int4_mesh_matches_single_device():
+    """INT4 KV cache under TP: quantized nibble/scale arrays head-sharded,
+    evict path compacts shard-locally."""
+    cfg = tiny_config("llama", head_dim=128, num_heads=8, num_kv_heads=4,
+                      hidden_size=256)
+
+    def build(mesh):
+        return Engine("tiny-llama", kv_type="evict", config=cfg,
+                      dtype=jnp.float32, max_new_tokens=6, decode_budget=256,
+                      capacity_granularity=256, score_chunk_size=256,
+                      kv_quant="int4", mesh=mesh, seed=7)
+
+    ref = build(None)
+    st_ref = ref.prefill(CTX, prefill_chunk_size=300)
+    mesh = make_mesh(4, tp=4)
+    eng = build(mesh)
+    st = eng.prefill(CTX, prefill_chunk_size=300)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st.score)),
+        np.asarray(jax.device_get(st_ref.score)), rtol=2e-4, atol=2e-4)
+
+    ref.prune(st_ref, 0.5, "pair")
+    eng.prune(st, 0.5, "pair")
+    # the mesh engine thresholds via histogram quantile; on CONTINUOUS f32
+    # scores (no bf16 grid) that is exact up to ties in the final bin —
+    # allow a +-2-row wobble per head (exact-equality is covered on the
+    # bf16 grid by test_histogram_threshold_matches_sort)
+    lens = np.asarray(jax.device_get(st.cache.lengths)).astype(np.int64)
+    lens_ref = np.asarray(
+        jax.device_get(st_ref.cache.lengths)).astype(np.int64)
+    assert np.abs(lens - lens_ref).max() <= 2
+    q = eng.apply_template("What is the secret word?")
+    p = eng.prob(q, st)
+    p_ref = ref.prob(q, st_ref)
+    np.testing.assert_allclose(p, p_ref, atol=5e-3, rtol=0)

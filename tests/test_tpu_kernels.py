@@ -147,7 +147,7 @@ def test_flat_decode_int4(rng):
     vq, vs, vz = quantize_int4(jnp.asarray(v_flat), pack="split")
     got = flat_decode_attend_int4(
         q, kq.T, ks[:, 0].astype(jnp.float32), kz[:, 0].astype(jnp.float32),
-        vq, vs[:, 0].astype(jnp.float32), vz[:, 0].astype(jnp.float32),
+        vq.T, vs[:, 0].astype(jnp.float32), vz[:, 0].astype(jnp.float32),
         jnp.asarray(row_head), k_tail, v_tail,
         jnp.asarray(tail_used, jnp.int32), scale=SCALE, block=256)
 

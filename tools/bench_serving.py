@@ -48,7 +48,7 @@ def make_state(eng, cfg, seed):
     cache = FlatInt4KV(
         k_flat_q=jax.random.randint(key, (L, D // 2, r_pad), 0, 255,
                                     jnp.uint8),
-        v_flat_q=jax.random.randint(key, (L, r_pad, D // 2), 0, 255,
+        v_flat_q=jax.random.randint(key, (L, D // 2, r_pad), 0, 255,
                                     jnp.uint8),
         k_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
         k_flat_z=jnp.full((L, r_pad), -0.05, jnp.float32),

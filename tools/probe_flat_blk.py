@@ -40,11 +40,11 @@ def build(R_PAD, key):
         np.repeat(np.arange(Hkv, dtype=np.int32), rows_per_head), (L, R_PAD))
     return dict(
         kq=jax.random.randint(key, (L, D // 2, R_PAD), 0, 255, jnp.uint8),
-        vq=jax.random.randint(key, (L, R_PAD, D // 2), 0, 255, jnp.uint8),
-        ks=jnp.full((L, R_PAD), 0.01, jnp.bfloat16),
-        kz=jnp.full((L, R_PAD), -0.05, jnp.bfloat16),
-        vs=jnp.full((L, R_PAD), 0.01, jnp.bfloat16),
-        vz=jnp.full((L, R_PAD), -0.05, jnp.bfloat16),
+        vq=jax.random.randint(key, (L, D // 2, R_PAD), 0, 255, jnp.uint8),
+        ks=jnp.full((L, R_PAD), 0.01, jnp.float32),
+        kz=jnp.full((L, R_PAD), -0.05, jnp.float32),
+        vs=jnp.full((L, R_PAD), 0.01, jnp.float32),
+        vz=jnp.full((L, R_PAD), -0.05, jnp.float32),
         rh=jnp.asarray(row_head),
         kt=jnp.zeros((L, Hkv, TAIL_CAP, D), jnp.bfloat16),
         vt=jnp.zeros((L, Hkv, TAIL_CAP, D), jnp.bfloat16),
@@ -56,17 +56,14 @@ def run_variant(c, blk, n1, n2, R_PAD):
 
     @partial(jax.jit, static_argnames=("n",))
     def reps(q, c, n):
-        def body(q, xs):
-            kq, ks, kz, vq, vs, vz, rh = xs
+        def body(q, li):
             o = flat_decode_attend_int4(
-                q, kq, ks, kz, vq, vs, vz, rh,
-                c["kt"][0], c["vt"][0], jnp.int32(3),
-                scale=D ** -0.5, block=blk)
+                q, c["kq"], c["ks"], c["kz"], c["vq"], c["vs"], c["vz"],
+                c["rh"], c["kt"][0], c["vt"][0], jnp.int32(3),
+                scale=D ** -0.5, block=blk, layer=li)
             return o, None
         for _ in range(n):
-            q, _ = jax.lax.scan(body, q, (
-                c["kq"], c["ks"], c["kz"], c["vq"], c["vs"], c["vz"],
-                c["rh"]))
+            q, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
         return q
 
     key = jax.random.PRNGKey(1)

@@ -70,12 +70,14 @@ def main():
     cache = FlatInt4KV(
         k_flat_q=jax.random.randint(key, (L, D // 2, R_PAD), 0, 255,
                                     jnp.uint8),
-        v_flat_q=jax.random.randint(key, (L, R_PAD, D // 2), 0, 255,
+        v_flat_q=jax.random.randint(key, (L, D // 2, R_PAD), 0, 255,
                                     jnp.uint8),
-        k_flat_s=jnp.full((L, R_PAD), 0.01, jnp.bfloat16),
-        k_flat_z=jnp.full((L, R_PAD), -0.05, jnp.bfloat16),
-        v_flat_s=jnp.full((L, R_PAD), 0.01, jnp.bfloat16),
-        v_flat_z=jnp.full((L, R_PAD), -0.05, jnp.bfloat16),
+        # f32 like the real build (cache.py): a bf16 fabrication would add a
+        # whole-array cast per scan iteration and distort the measurement
+        k_flat_s=jnp.full((L, R_PAD), 0.01, jnp.float32),
+        k_flat_z=jnp.full((L, R_PAD), -0.05, jnp.float32),
+        v_flat_s=jnp.full((L, R_PAD), 0.01, jnp.float32),
+        v_flat_z=jnp.full((L, R_PAD), -0.05, jnp.float32),
         row_head=jnp.asarray(np.broadcast_to(row_head, (L, R_PAD))),
         k_tail=jnp.zeros((L, Hkv, TAIL_CAP, D), jnp.bfloat16),
         v_tail=jnp.zeros((L, Hkv, TAIL_CAP, D), jnp.bfloat16),
@@ -162,18 +164,16 @@ def main():
 
     @jax.jit
     def attn_only(q, c):
-        def body(q, xs):
-            kq, ks, kz, vq, vs, vz, rh = xs
+        # stacked-layer convention (like the forward): no per-layer slicing
+        def body(q, li):
             o = flat_decode_attend_int4(
-                q, kq, ks, kz, vq, vs, vz, rh,
+                q, c.k_flat_q, c.k_flat_s, c.k_flat_z,
+                c.v_flat_q, c.v_flat_s, c.v_flat_z, c.row_head,
                 c.k_tail[0], c.v_tail[0], c.tail_len,
-                scale=D ** -0.5)
+                scale=D ** -0.5, layer=li)
             return o, None
         for _ in range(8):
-            q, _ = jax.lax.scan(body, q, (
-                c.k_flat_q, c.k_flat_s, c.k_flat_z,
-                c.v_flat_q, c.v_flat_s, c.v_flat_z,
-                c.row_head))
+            q, _ = jax.lax.scan(body, q, jnp.arange(L, dtype=jnp.int32))
         return q
 
     dt = timeit("flat attention x8 (28 layers)", lambda: attn_only(q0, cache))
