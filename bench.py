@@ -20,13 +20,14 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _full_flat_state(eng, state):
+def _full_flat_state(eng, state, flat_int4: bool, tail_cap: int):
     """Full-occupancy flat cache with the exact shapes/row counts that
     flatten_full(state) would produce — the honest full-cache baseline.
 
     Built after prune (the dense cache no longer exists, so the full view
-    could not be gathered from it); decode time depends only on live row
-    counts and layout, not values.
+    could not be gathered from it) AND after the evicted flat cache has been
+    freed (full-flat + evicted + weights exceed 16 GB at 320k); decode time
+    depends only on live row counts and layout, not values.
     """
     import dataclasses
 
@@ -39,7 +40,6 @@ def _full_flat_state(eng, state):
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     per_head = state.ctx_len + state.sink
     r_pad = _round_up(H * per_head, 8192)
-    tail_cap = state.cache.k_tail.shape[2]
     key = __import__("jax").random.PRNGKey(7)
     rh = np.full((r_pad,), -1, np.int32)
     rh[:H * per_head] = np.repeat(np.arange(H, dtype=np.int32), per_head)
@@ -51,7 +51,7 @@ def _full_flat_state(eng, state):
         seen=jnp.asarray(per_head, jnp.int32),
     )
     import jax as _jax
-    if isinstance(state.cache, FlatInt4KV):
+    if flat_int4:
         cache = FlatInt4KV(
             k_flat_q=_jax.random.randint(key, (L, D // 2, r_pad), 0, 255,
                                          jnp.uint8),
@@ -156,17 +156,27 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
     # AFTER prune (the dense cache is gone, so the full-occupancy flat view
     # fits); built full-occupancy with the exact shapes/row counts a real
     # flatten_full(state) produces — decode time does not depend on values.
+    # The evicted cache is FREED first: full-flat (10.6 GB at 3B/320k) +
+    # evicted (3.2 GB) + weights would not fit on a 16 GB chip.
+    import gc
+
+    from kvzip_tpu.cache import FlatInt4KV as _FI4
+    flat_int4 = isinstance(state.cache, _FI4)
+    tail_cap = state.cache.k_tail.shape[2]
+    state.cache = None
+    state._snap = None
+    gc.collect()
     try:
-        state_full = _full_flat_state(eng, state)
+        state_full = _full_flat_state(eng, state, flat_int4, tail_cap)
         ms_full = bench_decode(state_full, "full-flat")
         del state_full
+        gc.collect()
     except Exception:
-        import gc
         import traceback
         traceback.print_exc(file=sys.stderr)
-        state_full = None
-        gc.collect()
-        ms_full = bench_decode(state, "full")
+        # soft fallback: estimate from live-row scaling is NOT honest, so
+        # report no speedup rather than a fabricated one
+        ms_full = ms_pruned
 
     speedup = ms_full / ms_pruned
     kv_reduction = full_bytes / max(pruned_bytes, 1)
@@ -198,6 +208,12 @@ def main():
         dict(model="llama3.2-3b", ctx=32768, wq="none", kq="none",
              eq="none"),
     ]
+    # 256 decode tokens: the ~100-150 ms fixed per-generate dispatch cost
+    # (tunnel + query forward) amortizes to <1 ms/tok, so ms/tok reflects
+    # the steady-state decode rate rather than call overhead
+    dec = int(os.environ.get("BENCH_DECODE", 256))
+    ratio = float(os.environ.get("BENCH_RATIO", 0.3))
+
     if "BENCH_MODEL" in os.environ or "BENCH_CTX" in os.environ:
         configs = [dict(
             model=os.environ.get("BENCH_MODEL", "llama3.2-3b"),
@@ -205,11 +221,35 @@ def main():
             wq=os.environ.get("BENCH_WEIGHT_QUANT", "none"),
             kq=os.environ.get("BENCH_KV_QUANT", "none"),
             eq=os.environ.get("BENCH_EMBED_QUANT", "none"))]
-    # 256 decode tokens: the ~100-150 ms fixed per-generate dispatch cost
-    # (tunnel + query forward) amortizes to <1 ms/tok, so ms/tok reflects
-    # the steady-state decode rate rather than call overhead
-    dec = int(os.environ.get("BENCH_DECODE", 256))
-    ratio = float(os.environ.get("BENCH_RATIO", 0.3))
+    elif os.environ.get("BENCH_CHILD") != "1":
+        # parent mode: run each candidate config in a SUBPROCESS — a failed
+        # config (e.g. OOM) must not leak device memory into the fallback
+        # (exception tracebacks pin the dead config's arrays otherwise)
+        import subprocess
+        out = None
+        for cfg_i in configs:
+            env = dict(os.environ,
+                       BENCH_CHILD="1",
+                       BENCH_MODEL=cfg_i["model"],
+                       BENCH_CTX=str(cfg_i["ctx"]),
+                       BENCH_WEIGHT_QUANT=cfg_i["wq"],
+                       BENCH_KV_QUANT=cfg_i["kq"],
+                       BENCH_EMBED_QUANT=cfg_i.get("eq", "none"))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, stdout=subprocess.PIPE, timeout=7200)
+                line = proc.stdout.decode().strip().splitlines()[-1]
+                out = json.loads(line)
+                if out.get("value", 0) > 0:
+                    break
+            except Exception as e:
+                import traceback
+                traceback.print_exc(file=sys.stderr)
+                out = {"metric": "bench failed", "value": 0, "unit": "",
+                       "vs_baseline": 0, "error": str(e)}
+        print(json.dumps(out), flush=True)
+        return
 
     out = None
     for cfg_i in configs:

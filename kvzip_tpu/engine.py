@@ -510,7 +510,7 @@ class Engine:
                 # array as its gather completes (480k does not fit otherwise)
                 from kvzip_tpu.cache import (Int4KVCache,
                                              build_flat_donated,
-                                             build_flat_int4_donated)
+                                             build_flat_int4_stepped)
 
                 per_layer = np.asarray(jax.device_get(keep.sum(axis=(1, 2))))
                 # 8192 granularity: lets the flat kernels run 8192-row blocks
@@ -520,7 +520,9 @@ class Engine:
                     int(per_layer.max())
                     + state.sink * self.config.num_kv_heads, 8192)
                 if isinstance(state.cache, Int4KVCache):
-                    state.cache = build_flat_int4_donated(
+                    # stepped: consumes the dense cache array-by-array so
+                    # dense + flat never fully coexist (320k+ ctx on 16 GB)
+                    state.cache = build_flat_int4_stepped(
                         state.cache, keep, state.sink, r_pad,
                         self.decode_budget, self.dtype)
                 else:

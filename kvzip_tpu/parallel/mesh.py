@@ -27,18 +27,34 @@ from kvzip_tpu.config import ModelConfig
 
 
 def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None,
-              devices=None) -> Mesh:
-    """Build a ("data", "model") mesh.
+              devices=None, replicas: int = 1) -> Mesh:
+    """Build a ("data", "model") mesh — or ("replica", "data", "model") when
+    ``replicas`` > 1 (the multi-slice / DCN layout).
 
     tp defaults to all devices (pure tensor parallelism); pass tp < n to get
     a data axis for batch parallelism.
+
+    ``replicas`` maps TPU *slices* connected over DCN: the replica axis is
+    the mesh's MAJOR (slowest-varying) axis, so with the standard device
+    enumeration (slice-major) each replica lands on one slice and only the
+    replica axis ever crosses DCN. Every param/cache PartitionSpec in this
+    module omits "replica", which makes weights and caches fully replicated
+    per slice — the DCN link carries *no tensor traffic on the serving hot
+    path* (batches shard over ("replica", "data"); the only cross-slice
+    collective is a request-level batch split). This matches the scaling-book
+    recipe: model/tensor axes ride ICI, pure data parallelism rides DCN.
     """
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
     devices = np.asarray(devices[:n])
-    tp = tp or n
-    assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-    return Mesh(devices.reshape(n // tp, tp), ("data", "model"))
+    tp = tp or (n // replicas)
+    assert n % replicas == 0, f"{n} devices not divisible by {replicas} replicas"
+    per = n // replicas
+    assert per % tp == 0, f"{per} devices/replica not divisible by tp={tp}"
+    if replicas > 1:
+        return Mesh(devices.reshape(replicas, per // tp, tp),
+                    ("replica", "data", "model"))
+    return Mesh(devices.reshape(per // tp, tp), ("data", "model"))
 
 
 def param_pspecs(cfg: ModelConfig) -> dict:
@@ -160,4 +176,40 @@ def shard_cache(mesh: Mesh, cache):
             continue
         updates[f.name] = jax.device_put(
             getattr(cache, f.name), NamedSharding(mesh, spec))
+    return dataclasses.replace(cache, **updates)
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes a batch dimension shards over: ("replica", "data") on a
+    multi-slice mesh (DP across DCN slices AND across each slice's data
+    axis), plain ("data",) otherwise."""
+    return (("replica", "data") if "replica" in mesh.axis_names
+            else ("data",))
+
+
+def shard_batched_cache(mesh: Mesh, cache):
+    """device_put a batch-stacked cache (leading batch axis on every array,
+    as built by ``serving.stack_caches``): batch rides ("replica","data"),
+    kv heads stay on "model" per ``_CACHE_FIELD_SPECS``.
+
+    Flat compacted caches (FlatKV/FlatInt4KV) have no head axis to shard —
+    their per-field fallback is batch-axis-only, which is the right layout
+    for the batched flat-decode kernel (each sequence's rows stay local to
+    its data shard)."""
+    import dataclasses
+
+    baxes = batch_axes(mesh)
+    updates = {}
+    for f in dataclasses.fields(cache):
+        v = getattr(cache, f.name)
+        if not hasattr(v, "ndim"):
+            continue
+        inner = _CACHE_FIELD_SPECS.get(f.name)
+        if inner is not None and len(inner) == v.ndim - 1:
+            spec = P(baxes, *inner)
+        elif v.ndim >= 1:
+            spec = P(baxes)
+        else:
+            spec = P()
+        updates[f.name] = jax.device_put(v, NamedSharding(mesh, spec))
     return dataclasses.replace(cache, **updates)

@@ -151,6 +151,19 @@ def batched_generate(
     batched = stack_caches([st.cache for st in states])
     first_tok = jnp.stack(firsts)
 
+    if engine.mesh is not None:
+        # DP: batch over ("replica","data") — replicas ride DCN slices,
+        # weights stay replicated per slice (parallel/mesh.py layout)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from kvzip_tpu.parallel.mesh import batch_axes, shard_batched_cache
+        baxes = batch_axes(engine.mesh)
+        n_dp = int(np.prod([engine.mesh.shape[a] for a in baxes]))
+        if B % n_dp == 0:
+            batched = shard_batched_cache(engine.mesh, batched)
+            first_tok = jax.device_put(
+                first_tok, NamedSharding(engine.mesh, P(baxes)))
+
     if isinstance(states[0].cache, (FlatKV, FlatInt4KV)):
         # flat compacted contexts decode through the Pallas flat kernel;
         # vmap adds the batch as a leading grid dimension

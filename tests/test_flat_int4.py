@@ -71,3 +71,53 @@ def test_int4_flat_engine_end_to_end():
 
     p = eng.prob(eng.apply_template("What is the callsign?"), st)
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
+
+
+def test_stepped_build_matches_oneshot():
+    """build_flat_int4_stepped (bounded-peak, donated per-array) produces
+    exactly the same FlatInt4KV as the one-shot build_flat_int4."""
+    import dataclasses
+
+    from kvzip_tpu.cache import (build_flat_int4, build_flat_int4_stepped,
+                                 init_int4_cache, append_layer_int4)
+    from kvzip_tpu.config import tiny_config
+
+    rng = np.random.default_rng(3)
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    C, ctx, sink = 256, 100, 4
+    cache = init_int4_cache(cfg, C, jnp.float32)
+    # fill sink+ctx rows on every layer
+    for l in range(L):
+        k_new = jnp.asarray(rng.standard_normal((sink + ctx, H, D)),
+                            jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((sink + ctx, H, D)),
+                            jnp.float32)
+        layer = tuple(a[l] for a in (cache.k_q, cache.v_q, cache.k_s,
+                                     cache.k_z, cache.v_s, cache.v_z))
+        layer = append_layer_int4(layer, cache.lengths[l], k_new, v_new)
+        cache = dataclasses.replace(
+            cache,
+            k_q=cache.k_q.at[l].set(layer[0]),
+            v_q=cache.v_q.at[l].set(layer[1]),
+            k_s=cache.k_s.at[l].set(layer[2]),
+            k_z=cache.k_z.at[l].set(layer[3]),
+            v_s=cache.v_s.at[l].set(layer[4]),
+            v_z=cache.v_z.at[l].set(layer[5]))
+    cache = dataclasses.replace(
+        cache, lengths=cache.lengths + sink + ctx,
+        seen=jnp.asarray(sink + ctx, jnp.int32))
+
+    keep = jnp.asarray(rng.random((L, H, ctx)) > 0.5)
+    r_pad = 256
+    want = build_flat_int4(cache, keep, sink, r_pad, 16, jnp.float32)
+    # deep-copy the dense cache: the stepped build donates its arrays
+    cache2 = jax.tree.map(jnp.copy, cache)
+    got = build_flat_int4_stepped(cache2, keep, sink, r_pad, 16, jnp.float32)
+
+    for f in ("k_flat_q", "v_flat_q", "k_flat_s", "k_flat_z", "v_flat_s",
+              "v_flat_z", "row_head", "lengths"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
+            err_msg=f)
