@@ -42,7 +42,7 @@ def build_parser():
         sp.add_argument("--kv_quant", type=str, default="none",
                         choices=["none", "int4"])
         sp.add_argument("--weight_quant", type=str, default="none",
-                        choices=["none", "w8a8"])
+                        choices=["none", "w8a8", "w4a8"])
 
     sp_test = sub.add_parser("test", help="profile + full-vs-pruned compare")
     common(sp_test)
@@ -56,7 +56,7 @@ def build_parser():
     sp_demo.add_argument("--kv_quant", type=str, default="none",
                          choices=("none", "int4"))
     sp_demo.add_argument("--weight_quant", type=str, default="none",
-                         choices=("none", "w8a8"))
+                         choices=("none", "w8a8", "w4a8"))
     sp_demo.add_argument("--embed_quant", type=str, default="none",
                          choices=("none", "int8"))
     sp_demo.add_argument("--decode_tokens", type=int, default=64,

@@ -121,7 +121,7 @@ class Engine:
         capacity_granularity: int = 512,
         score_chunk_size: int = 2000,
         kv_quant: str = "none",      # "none" | "int4"
-        weight_quant: str = "none",  # "none" | "w8a8"
+        weight_quant: str = "none",  # "none" | "w8a8" | "w4a8"
         embed_quant: str = "none",   # "none" | "int8" (embed + lm_head)
         flat_decode: str = "auto",   # "auto" | "on" | "off"
         mesh=None,
@@ -167,6 +167,9 @@ class Engine:
                 # quantized-form init: avoids the transient bf16 copy
                 params = params_lib.init_params_w8a8(
                     self.config, jax.random.PRNGKey(seed), dtype)
+            elif weight_quant == "w4a8":
+                params = params_lib.init_params_w4a8(
+                    self.config, jax.random.PRNGKey(seed), dtype)
             else:
                 params = params_lib.init_params(
                     self.config, jax.random.PRNGKey(seed), dtype)
@@ -174,6 +177,17 @@ class Engine:
                 params["layers"].get("wq"), dict):
             from kvzip_tpu.ops.quant import quantize_params_w8a8
             params = quantize_params_w8a8(params)
+        if weight_quant == "w4a8" and not isinstance(
+                params["layers"].get("wq"), dict):
+            # int4 per-group weights (beyond reference: QServe geometry) —
+            # halves the decode-dominant weight read vs W8A8
+            from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+            params = dict(params)
+            lp = dict(params["layers"])
+            for nm in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+                if nm in lp and not isinstance(lp[nm], dict):
+                    lp[nm] = quantize_weight_int4(lp[nm])
+            params["layers"] = lp
         if embed_quant == "int8" and not isinstance(params["embed"], dict):
             # halves the ~1.1 GB bf16 embed/lm_head tables of a 7B model —
             # the 480k-ctx demo does not fit on 16 GB without this (QServe

@@ -262,7 +262,18 @@ def init_params_w8a8(cfg: ModelConfig, key: jax.Array,
     bf16-init-then-quantize would transiently need ~21 GB and not fit one
     v5e chip; stack-wise the peak overhead is a single bf16 stack."""
     from kvzip_tpu.ops.quant import quantize_weight_int8
+    return _init_params_quantized(cfg, key, dtype, quantize_weight_int8)
 
+
+def init_params_w4a8(cfg: ModelConfig, key: jax.Array,
+                     dtype=jnp.bfloat16) -> Params:
+    """Random-init directly in W4A8 form (int4 per-group weights)."""
+    from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+    return _init_params_quantized(cfg, key, dtype, quantize_weight_int4)
+
+
+def _init_params_quantized(cfg: ModelConfig, key: jax.Array, dtype,
+                           quant_fn) -> Params:
     D, H, Hkv, Dh = (cfg.hidden_size, cfg.num_heads, cfg.num_kv_heads,
                      cfg.head_dim)
     L, I, V = cfg.num_layers, cfg.intermediate_size, cfg.vocab_size
@@ -275,10 +286,10 @@ def init_params_w8a8(cfg: ModelConfig, key: jax.Array,
     lp = {}
     for i, name in enumerate(shapes):
         lp[name] = jax.jit(
-            lambda k, s=shapes[name]: quantize_weight_int8(
+            lambda k, s=shapes[name]: quant_fn(
                 (jax.random.normal(k, s, jnp.float32) * 0.02).astype(dtype))
         )(jax.random.fold_in(key, i))
-        jax.block_until_ready(lp[name]["q"])
+        jax.block_until_ready(jax.tree.leaves(lp[name])[0])
     lp["ln_attn"] = jnp.ones((L, D), dtype)
     lp["ln_mlp"] = jnp.ones((L, D), dtype)
     if cfg.attention_bias:

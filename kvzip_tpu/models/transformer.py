@@ -63,8 +63,12 @@ def _head_norm(x: jax.Array, w: jax.Array, eps: float, gemma: bool) -> jax.Array
 
 
 def _lin(x: jax.Array, w, bias=None) -> jax.Array:
-    """Linear that dispatches on weight type: plain matmul or W8A8 int8."""
+    """Linear that dispatches on weight type: plain matmul, W8A8 int8, or
+    W4A8 int4-packed (Pallas)."""
     if isinstance(w, dict):
+        if "q4" in w:
+            from kvzip_tpu.ops.w4a8 import w4a8_linear
+            return w4a8_linear(x, w, bias)
         return int8_linear(x, w["q"], w["s"], bias)
     y = x @ w
     if bias is not None:
@@ -76,7 +80,7 @@ def _lin_shared(x: jax.Array, weights, biases) -> list:
     """Several projections of ONE activation: quantize it once (W8A8) —
     the act-quant fusion the reference does inside RMSNorm/SiLU-mul
     (`w8a8kv4_llama.py:126-163`), here as a shared pre-quantization."""
-    if isinstance(weights[0], dict):
+    if isinstance(weights[0], dict) and "q" in weights[0]:
         from kvzip_tpu.ops.quant import int8_matmul, quantize_act_int8
         xq, xs = quantize_act_int8(x)
         return [int8_matmul(xq, xs, w["q"], w["s"], b, x.dtype)

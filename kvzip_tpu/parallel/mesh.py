@@ -138,6 +138,14 @@ def _trim(tree_specs: dict, tree: dict) -> dict:
         if isinstance(v, dict):
             if isinstance(spec, P) and set(v) == {"q", "s"}:
                 out[k] = {"q": spec, "s": P(*spec[:-2], spec[-1])}
+            elif set(v) == {"q4", "s", "z"}:
+                # W4A8 stays REPLICATED under a mesh: the split packing
+                # interleaves output columns j and j+OUT/2 into one byte, so
+                # a contiguous "model" split of the packed axis would strand
+                # each shard's nibble halves in different shards. w4a8 is a
+                # single-chip decode bandwidth/memory optimization; use
+                # w8a8 for tensor-parallel serving.
+                out[k] = {"q4": P(), "s": P(), "z": P()}
             else:
                 out[k] = _trim(spec or {}, v)
         else:
