@@ -235,19 +235,26 @@ def main():
                        BENCH_WEIGHT_QUANT=cfg_i["wq"],
                        BENCH_KV_QUANT=cfg_i["kq"],
                        BENCH_EMBED_QUANT=cfg_i.get("eq", "none"))
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    env=env, stdout=subprocess.PIPE, timeout=7200)
-                line = proc.stdout.decode().strip().splitlines()[-1]
-                out = json.loads(line)
+            # two attempts per config: the axon tunnel occasionally hangs a
+            # whole process mid-phase (zero CPU, never returns) — a bounded
+            # timeout + one retry (warm via the persistent jit cache)
+            # converts a hang into ~10 lost minutes instead of a lost run
+            for attempt in range(2):
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__)],
+                        env=env, stdout=subprocess.PIPE, timeout=3300)
+                    line = proc.stdout.decode().strip().splitlines()[-1]
+                    out = json.loads(line)
+                except Exception as e:
+                    import traceback
+                    traceback.print_exc(file=sys.stderr)
+                    out = {"metric": "bench failed", "value": 0, "unit": "",
+                           "vs_baseline": 0, "error": str(e)}
                 if out.get("value", 0) > 0:
                     break
-            except Exception as e:
-                import traceback
-                traceback.print_exc(file=sys.stderr)
-                out = {"metric": "bench failed", "value": 0, "unit": "",
-                       "vs_baseline": 0, "error": str(e)}
+            if out.get("value", 0) > 0:
+                break
         print(json.dumps(out), flush=True)
         return
 

@@ -124,6 +124,7 @@ class Engine:
         weight_quant: str = "none",  # "none" | "w8a8" | "w4a8"
         embed_quant: str = "none",   # "none" | "int8" (embed + lm_head)
         flat_decode: str = "auto",   # "auto" | "on" | "off"
+        attn_quant: str = "none",    # "none" | "int8" (flat-decode s8 dots)
         mesh=None,
         seed: int = 0,
     ):
@@ -149,6 +150,7 @@ class Engine:
         self.kv_quant = kv_quant
         self.weight_quant = weight_quant
         self.flat_decode = flat_decode
+        self.attn_quant = attn_quant
         if params is None:
             import glob as _glob
             import os as _os
@@ -254,8 +256,14 @@ class Engine:
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
 
         if isinstance(state.cache, (FlatKV, FlatInt4KV)):
-            return ("flash" if jax.default_backend() != "cpu"
-                    else "flash_interpret")
+            if jax.default_backend() == "cpu":
+                return "flash_interpret"
+            # opt-in int8 attention: s8 dots on the packed int4 context
+            # (~1.5x the bf16 nibble path; ~8-bit rounding of logits/probs)
+            if (self.attn_quant == "int8"
+                    and isinstance(state.cache, FlatInt4KV)):
+                return "flash_q8"
+            return "flash"
         # Pallas flash whenever the shape allows (no retain-mask needed,
         # 128-aligned head_dim, TPU backend); else XLA blockwise/dense.
         if self.attn_impl != "auto":

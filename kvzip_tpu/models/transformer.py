@@ -271,7 +271,8 @@ def forward(
                 attn_out = flat_decode_attend_int4(
                     q, *flat_arrays, flat_rh_all,
                     layer_store[0], layer_store[1], tail_len0, scale=scale,
-                    interpret=interp_flag, layer=layer_idx)
+                    interpret=interp_flag, q8=(attn_impl == "flash_q8"),
+                    layer=layer_idx)
             else:
                 attn_out = flat_decode_attend(
                     q, flat_arrays[0], flat_arrays[1],
@@ -280,7 +281,7 @@ def forward(
                     layer=layer_idx)
         elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
-            use_kernel = (attn_impl in ("flash", "flash_interpret")
+            use_kernel = (attn_impl in ("flash", "flash_q8", "flash_interpret")
                           and T > 8 and ks_a.shape[-1] == 1
                           and Dh % 128 == 0 and windows is None)
             if use_kernel:
@@ -299,7 +300,7 @@ def forward(
                     q, jnp.swapaxes(kq_a, 1, 2), ks_a, kz_a,
                     jnp.swapaxes(vq_a, 1, 2), vs_a, vz_a, base_lens,
                     valid_l, scale=scale, q_pos0=q_pos0, window=win)
-        elif attn_impl in ("flash", "flash_interpret"):
+        elif attn_impl in ("flash", "flash_q8", "flash_interpret"):
             # Pallas kernels: stream only live KV (no valid-mask support —
             # the engine routes pruned-retain decode elsewhere). Small query
             # counts (decode steps) take the ragged per-head-length kernel.

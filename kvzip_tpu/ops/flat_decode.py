@@ -129,13 +129,21 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
 def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
                       vq_ref, vs_ref, vz_ref, kt_ref, vt_ref,
                       o_ref, m_scr, l_scr, acc_scr,
-                      *, block: int, n_q: int, g: int, scale: float, dtype):
+                      *, block: int, n_q: int, g: int, scale: float, dtype,
+                      q8: bool = False):
     """INT4-context variant. K nibbles arrive transposed ``(D//2, BLK)``
     (byte j packs element j in the high nibble, j + D/2 in the low — split
     packing), V row-major ``(BLK, D//2)``. Both matmuls run against the raw
     nibble values; scale/zero are applied as column scalings + rank-1
     corrections (see module docstring), so no dequantized tile is ever
-    built."""
+    built.
+
+    ``q8=True`` (opt-in int8 attention): queries and probabilities are
+    quantized per row to s8 and both context matmuls run s8 x s8 -> s32 —
+    the packed bytes are XOR'd with 0x80 in-register (bias -128, corrected
+    by a rank-1 term) so no wide-type unpack chain runs on the big arrays.
+    Measured ~1.5x the bf16 nibble path (VPU-bound); costs ~8-bit rounding
+    of attention logits/probs against an already-4-bit KV."""
     kb = pl.program_id(0)
     nb = pl.num_programs(0)
     HT, D = q_ref.shape
@@ -161,17 +169,39 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     # (cast/shift/and/2 casts/concat ~= 7 VPU ops per packed byte) pinned
     # this kernel at ~175 GB/s regardless of block size (VPU-bound, ~1e12
     # ops/s); this form measured 391 GB/s (tools/probe_flat_unpack.py B).
-    kpi = kq_ref[0].astype(jnp.int32)             # (D//2, BLK) packed
-    kB = kpi.astype(q.dtype)
-    kLO = (kpi & 0xF).astype(q.dtype)
-    q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
-    q_lo = q[:, D // 2:] - q_hi
-    qn = (jax.lax.dot_general(
-        q_hi, kB, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(
-            q_lo, kLO, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))   # (HT, BLK)
+    q_hi = (q[:, :D // 2] * q.dtype.type(1.0 / 16.0)).astype(jnp.float32)
+    q_lo = q[:, D // 2:].astype(jnp.float32) - q_hi
+    if q8:
+        # s8 dots on the raw bytes: kB' = (b ^ 0x80) as s8 = b - 128, so
+        # q.b = q.kB' + 128*sum(q); lo already fits s8. Queries quantized
+        # per row (scale = amax/127) — 2 u8 VPU ops on the big array vs the
+        # ~5-op wide-type chain above.
+        kB = jax.lax.bitcast_convert_type(kq_ref[0] ^ 0x80, jnp.int8)
+        kLO = jax.lax.bitcast_convert_type(kq_ref[0] & 0xF, jnp.int8)
+
+        def quant_rows(x):
+            s = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0 + 1e-20
+            return jnp.round(x / s).astype(jnp.int8), s
+
+        qh8, qh_s = quant_rows(q_hi)
+        ql8, ql_s = quant_rows(q_lo)
+        a = jax.lax.dot_general(qh8, kB, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        bsum = jnp.sum(qh8.astype(jnp.float32), axis=1, keepdims=True)
+        m_lo = jax.lax.dot_general(ql8, kLO, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        qn = (qh_s * (a.astype(jnp.float32) + 128.0 * bsum)
+              + ql_s * m_lo.astype(jnp.float32))   # (HT, BLK)
+    else:
+        kpi = kq_ref[0].astype(jnp.int32)             # (D//2, BLK) packed
+        kB = kpi.astype(q.dtype)
+        kLO = (kpi & 0xF).astype(q.dtype)
+        qn = (jax.lax.dot_general(
+            q_hi.astype(q.dtype), kB, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(
+                q_lo.astype(q.dtype), kLO, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))   # (HT, BLK)
     ks = ks_ref[0]                                 # (1, BLK) f32
     kz = kz_ref[0]
     s = (qn * ks + qsum * kz) * scale
@@ -190,17 +220,30 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     # V nibbles arrive TRANSPOSED (D//2, BLK) — minor dim BLK keeps the
     # uint8 array tile-aligned in HBM (row-major (R, 64) pads 2x). The
     # contraction is f32 NT (fast; only bf16 NT is the Mosaic slow path).
-    vpi = vq_ref[0].astype(jnp.int32)              # (D//2, BLK) packed
-    vB = vpi.astype(jnp.float32)
-    vLO = (vpi & 0xF).astype(jnp.float32)
     ps = p * vs_ref[0]                             # (HT, BLK) f32
     pz = jnp.sum(p * vz_ref[0], axis=1, keepdims=True)  # (HT, 1) f32
-    m1 = jax.lax.dot_general(
-        ps, vB, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (HT, D//2)
-    m2 = jax.lax.dot_general(
-        ps, vLO, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if q8:
+        vB = jax.lax.bitcast_convert_type(vq_ref[0] ^ 0x80, jnp.int8)
+        vLO = jax.lax.bitcast_convert_type(vq_ref[0] & 0xF, jnp.int8)
+        ps_s = jnp.max(ps, axis=1, keepdims=True) / 127.0 + 1e-20  # ps >= 0
+        pp = jnp.round(ps / ps_s).astype(jnp.int8)
+        psum = jnp.sum(pp.astype(jnp.float32), axis=1, keepdims=True)
+        m1i = jax.lax.dot_general(pp, vB, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        m2i = jax.lax.dot_general(pp, vLO, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        m1 = ps_s * (m1i.astype(jnp.float32) + 128.0 * psum)
+        m2 = ps_s * m2i.astype(jnp.float32)
+    else:
+        vpi = vq_ref[0].astype(jnp.int32)          # (D//2, BLK) packed
+        vB = vpi.astype(jnp.float32)
+        vLO = (vpi & 0xF).astype(jnp.float32)
+        m1 = jax.lax.dot_general(
+            ps, vB, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)    # (HT, D//2)
+        m2 = jax.lax.dot_general(
+            ps, vLO, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
     upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
     acc_scr[...] = acc_scr[...] * alpha + pz + upd
 
@@ -231,7 +274,7 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block", "interpret"))
+    jax.jit, static_argnames=("scale", "block", "interpret", "q8"))
 def flat_decode_attend_int4(
     q: jax.Array,          # (T, H, D)
     k_flat_q: jax.Array,   # ([L,] D//2, R_pad) uint8 — TRANSPOSED nibbles
@@ -248,6 +291,7 @@ def flat_decode_attend_int4(
     scale: float,
     block: int = 8192,
     interpret: bool = False,
+    q8: bool = False,
     layer: jax.Array = None,  # () int32 — REQUIRED with stacked (L, ...) args
 ) -> jax.Array:
     """Pass the FULL stacked cache arrays plus ``layer`` when calling from a
@@ -255,7 +299,9 @@ def flat_decode_attend_int4(
     prefetched scalar), so no host-side ``a[layer_idx]`` dynamic-slice COPY
     of the multi-MB context arrays is ever materialized. That copy tripled
     the kernel's effective HBM traffic (~190 GB/s observed vs ~396 GB/s for
-    the kernel itself — tools/probe_flat_real.py)."""
+    the kernel itself — tools/probe_flat_real.py).
+
+    ``q8=True``: int8-attention mode (see :func:`_flat_int4_kernel`)."""
     T, H, D = q.shape
     Hkv, Tcap, _ = k_tail.shape
     G = H // Hkv
@@ -300,7 +346,8 @@ def flat_decode_attend_int4(
         ],
     )
     kernel = functools.partial(
-        _flat_int4_kernel, block=BLK, n_q=T, g=G, scale=scale, dtype=q.dtype)
+        _flat_int4_kernel, block=BLK, n_q=T, g=G, scale=scale, dtype=q.dtype,
+        q8=q8)
 
     out = pl.pallas_call(
         kernel,

@@ -167,8 +167,13 @@ def batched_generate(
     if isinstance(states[0].cache, (FlatKV, FlatInt4KV)):
         # flat compacted contexts decode through the Pallas flat kernel;
         # vmap adds the batch as a leading grid dimension
-        impl = ("flash" if jax.default_backend() != "cpu"
-                else "flash_interpret")
+        if jax.default_backend() == "cpu":
+            impl = "flash_interpret"
+        elif (engine.attn_quant == "int8"
+              and isinstance(states[0].cache, FlatInt4KV)):
+            impl = "flash_q8"
+        else:
+            impl = "flash"
     else:
         impl = "blockwise"  # vmap-safe XLA path
     step = partial(forward, collect_logits="last", attn_impl=impl)

@@ -121,3 +121,34 @@ def test_stepped_build_matches_oneshot():
         np.testing.assert_array_equal(
             np.asarray(getattr(got, f)), np.asarray(getattr(want, f)),
             err_msg=f)
+
+
+def test_int4_flat_kernel_q8_close_to_exact():
+    """int8-attention mode (s8 dots, per-row q/p quantization) stays close
+    to the exact nibble path — rounding is ~8-bit on logits/probs."""
+    rng = np.random.default_rng(7)
+    Hkv, G, D, T = 2, 2, 128, 1
+    H = Hkv * G
+    R_pad, Tcap, tail_used = 64, 8, 2
+
+    k_flat = rng.standard_normal((R_pad, D)).astype(np.float32)
+    v_flat = rng.standard_normal((R_pad, D)).astype(np.float32)
+    row_head = np.full((R_pad,), -1, np.int32)
+    row_head[:30] = 0
+    row_head[30:60] = 1
+    k_tail = rng.standard_normal((Hkv, Tcap, D)).astype(np.float32)
+    v_tail = rng.standard_normal((Hkv, Tcap, D)).astype(np.float32)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+
+    kq, ks, kz = quantize_int4(jnp.asarray(k_flat), pack="split")
+    vq, vs, vz = quantize_int4(jnp.asarray(v_flat), pack="split")
+    args = (q, kq.T, ks[:, 0], kz[:, 0], vq.T, vs[:, 0], vz[:, 0],
+            jnp.asarray(row_head), jnp.asarray(k_tail), jnp.asarray(v_tail),
+            jnp.asarray(tail_used, jnp.int32))
+
+    exact = flat_decode_attend_int4(*args, scale=D ** -0.5, block=32,
+                                    interpret=True)
+    got = flat_decode_attend_int4(*args, scale=D ** -0.5, block=32,
+                                  interpret=True, q8=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               rtol=0.05, atol=0.05)
