@@ -194,14 +194,17 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
 
 
 def main():
-    # Default flagship: 3B W8A8+KV4 at 320k context — the regime where KV
-    # reads dominate decode (live KV ~10 GB vs ~4 GB weights), so eviction
+    # Default flagship: 3B W8A8+KV4 at 288k context — the regime where KV
+    # reads dominate decode (live KV ~9 GB vs ~4 GB weights), so eviction
     # pays the way the reference's 480k bf16 demo does (its KV:weights is
-    # 27.5:16 GB). The 7B/131k config is the first fallback (KV 2:8 GB —
-    # great absolute latency, but quantization already shrank its baseline);
-    # llama3.2-3b bf16 at 32k is the fast, robust last resort.
+    # 27.5:16 GB). 288k, not 320k: prune-time compaction peaks at
+    # dense + weights + one flat array, and 320k leaves <0.3 GB headroom
+    # on a 16 GiB chip (measured OOM). The 7B/131k config is the first
+    # fallback (KV 2:8 GB — great absolute latency, but quantization
+    # already shrank its baseline); llama3.2-3b bf16 at 32k is the fast,
+    # robust last resort.
     configs = [
-        dict(model="llama3.2-3b", ctx=327680, wq="w8a8", kq="int4",
+        dict(model="llama3.2-3b", ctx=294912, wq="w8a8", kq="int4",
              eq="int8"),
         dict(model="qwen2.5-7b", ctx=131072, wq="w8a8", kq="int4",
              eq="int8"),
@@ -235,10 +238,11 @@ def main():
                        BENCH_WEIGHT_QUANT=cfg_i["wq"],
                        BENCH_KV_QUANT=cfg_i["kq"],
                        BENCH_EMBED_QUANT=cfg_i.get("eq", "none"))
-            # two attempts per config: the axon tunnel occasionally hangs a
-            # whole process mid-phase (zero CPU, never returns) — a bounded
-            # timeout + one retry (warm via the persistent jit cache)
-            # converts a hang into ~10 lost minutes instead of a lost run
+            # two attempts per config, but ONLY a timeout earns a retry: the
+            # axon tunnel occasionally hangs a whole process mid-phase (zero
+            # CPU, never returns) and the second, jit-cache-warm attempt is
+            # cheap. A child that *completed* with an error (e.g. OOM) is
+            # deterministic — fall through to the next config instead.
             for attempt in range(2):
                 try:
                     proc = subprocess.run(
@@ -246,12 +250,17 @@ def main():
                         env=env, stdout=subprocess.PIPE, timeout=3300)
                     line = proc.stdout.decode().strip().splitlines()[-1]
                     out = json.loads(line)
+                    break
+                except subprocess.TimeoutExpired as e:
+                    print(f"config timed out (attempt {attempt + 1}): {e}",
+                          file=sys.stderr, flush=True)
+                    out = {"metric": "bench failed", "value": 0, "unit": "",
+                           "vs_baseline": 0, "error": "timeout"}
                 except Exception as e:
                     import traceback
                     traceback.print_exc(file=sys.stderr)
                     out = {"metric": "bench failed", "value": 0, "unit": "",
                            "vs_baseline": 0, "error": str(e)}
-                if out.get("value", 0) > 0:
                     break
             if out.get("value", 0) > 0:
                 break

@@ -596,12 +596,14 @@ def build_flat_int4_stepped(cache: Int4KVCache, keep: jax.Array, sink: int,
         jax.block_until_ready(out)   # donated input freed before next step
         return out
 
-    k_flat_q = step(_gather_kt_donated, cache.k_q)
-    v_flat_q = step(_gather_kt_donated, cache.v_q)
+    # scales first: frees ~0.6 GB of dense bf16 scale arrays before the two
+    # 4.7 GB nibble gathers (every 100 MB counts at 3B/320k on 16 GB)
     k_flat_s = step(_gather_scale_donated, cache.k_s)
     k_flat_z = step(_gather_scale_donated, cache.k_z)
     v_flat_s = step(_gather_scale_donated, cache.v_s)
     v_flat_z = step(_gather_scale_donated, cache.v_z)
+    k_flat_q = step(_gather_kt_donated, cache.k_q)
+    v_flat_q = step(_gather_kt_donated, cache.v_q)
     seen = cache.seen
 
     return FlatInt4KV(

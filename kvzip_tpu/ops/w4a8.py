@@ -6,23 +6,27 @@ dominant HBM term of a single-stream decode step — at QServe-style per-group
 granularity (group of 128 input channels per output channel, asymmetric
 scale/zero, the same geometry as QServe's W4A8 checkpoints).
 
-Layout (mirrors the flat-decode int4 algebra, `ops/flat_decode.py`):
+Layout:
 
-- packed ``(IN, OUT//2)`` uint8, split packing along OUT: byte column j holds
-  weight column j in the HIGH nibble and column j + OUT/2 in the LOW nibble.
-  With ``b = 16*hi + lo`` two NN matmuls against the raw bytes reconstruct
-  both halves without ever materializing unpacked nibbles:
+- packed ``(INp, OUT//2)`` uint8, split packing along OUT: byte column j
+  holds weight column j in the HIGH nibble and column j + OUT/2 in the LOW
+  nibble. INp pads the input dim so the group count is a multiple of the
+  kernel's groups-per-block (pad groups carry scale = zero = 0 and
+  contribute nothing).
+- scale/zero ``(Gp, OUT)`` f32 per (input-group, output-channel).
 
-      m1 = x @ b, m2 = x @ (b & 15)  ->  hi = (m1 - m2)/16, lo = m2
+Kernel design (measured on one v5e chip, tools/probe_w4a8.py):
 
-- scale/zero ``(IN//128, OUT)``: with per-INPUT-group quant params,
-  ``out_j = sum_g s[g,j] * (x_g . n_gj) + z[g,j] * sum(x_g)`` — the grid
-  walks input groups, so each step applies its group's row of scales and a
-  rank-1 zero correction; no dequantized weight tile is ever built.
-
-The kernel generalizes over T (decode T=1 up to prefill chunks): row blocks
-of x ride the first grid axis, input groups the second (accumulating into a
-stationary output block).
+- activations quantize per token to s8 once outside; BOTH matmuls run
+  s8 x s8 -> s32 (2x MXU rate, and the byte operands need only 1 cheap u8
+  op each: ``b ^ 0x80`` = b - 128 as s8, ``b & 0xF`` = lo as s8 — the
+  wide-type unpack chain of v1 capped the kernel at 279 GB/s).
+- 16 groups (2048 input rows) per grid step: v1's one-group steps paid the
+  2-4 us/step Pallas floor 5000+ times per 28-layer decode step.
+- per group g: with b' = b - 128, q.b = q.b' + 128*sum(q), and
+  hi = (b + 128 - lo)/16 - 8 ... algebra folded as
+      n_hi . q = (q.b - q.lo)/16,  n_lo . q = q.lo
+  then ``out += xs * (concat(hi, lo) * s_g + sum(xq_g) * z_g)``.
 """
 
 from __future__ import annotations
@@ -35,15 +39,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128
+MAX_GPB = 16          # groups per grid step (2048 input rows)
+
+
+def _pad_groups(n_groups: int) -> int:
+    gpb = min(MAX_GPB, n_groups)
+    return -(-n_groups // gpb) * gpb, gpb
 
 
 def quantize_weight_int4(w: jax.Array, group: int = GROUP) -> dict:
-    """w (..., IN, OUT) -> {"q4": (..., IN, OUT//2) uint8, "s"/"z":
-    (..., IN//group, OUT) f32} — per-(input-group, output-channel)
-    asymmetric uint4, split-packed along OUT."""
+    """w (..., IN, OUT) -> {"q4": (..., INp, OUT//2) uint8, "s"/"z":
+    (..., Gp, OUT) f32} — per-(input-group, output-channel) asymmetric
+    uint4, split-packed along OUT, padded to the kernel's group blocking
+    (pad groups have s = z = 0 and contribute nothing)."""
     *lead, IN, OUT = w.shape
     assert IN % group == 0 and OUT % 2 == 0
-    wf = w.astype(jnp.float32).reshape(*lead, IN // group, group, OUT)
+    G = IN // group
+    Gp, _ = _pad_groups(G)
+    wf = w.astype(jnp.float32).reshape(*lead, G, group, OUT)
     mn = wf.min(axis=-2)
     mx = wf.max(axis=-2)
     s = (mx - mn) / 15.0 + 1e-8                      # (..., G, OUT)
@@ -51,48 +64,68 @@ def quantize_weight_int4(w: jax.Array, group: int = GROUP) -> dict:
     q = jnp.clip(jnp.round((wf - z[..., None, :]) / s[..., None, :]), 0, 15)
     q = q.astype(jnp.uint8).reshape(*lead, IN, OUT)
     half = OUT // 2
-    packed = (q[..., :half] << 4) | q[..., half:]
+    # bytes stored PRE-BIASED (^ 0x80, i.e. b - 128 as s8): the kernel
+    # bitcasts them to s8 with ZERO unpack ops on the big array; the low
+    # nibble is untouched by the bias (bit 7 is in the high nibble)
+    packed = ((q[..., :half] << 4) | q[..., half:]) ^ 0x80
+    lead_pad = [(0, 0)] * len(lead)
+    if Gp != G:
+        packed = jnp.pad(packed, lead_pad + [(0, (Gp - G) * group), (0, 0)])
+        s = jnp.pad(s, lead_pad + [(0, Gp - G), (0, 0)])
+        z = jnp.pad(z, lead_pad + [(0, Gp - G), (0, 0)])
     return {"q4": packed, "s": s.astype(jnp.float32),
             "z": z.astype(jnp.float32)}
 
 
 def dequantize_weight_int4(wq: dict, dtype=jnp.bfloat16) -> jax.Array:
-    """Reference expansion (tests / non-TPU fallback)."""
-    packed, s, z = wq["q4"], wq["s"], wq["z"]
-    *lead, IN, half = packed.shape
+    """Reference expansion to (..., INp, OUT) — pad rows are zero."""
+    packed, s, z = wq["q4"] ^ 0x80, wq["s"], wq["z"]  # un-bias stored bytes
+    *lead, INp, half = packed.shape
     hi = (packed >> 4).astype(jnp.float32)
     lo = (packed & 0xF).astype(jnp.float32)
-    q = jnp.concatenate([hi, lo], axis=-1)           # (..., IN, OUT)
-    G = s.shape[-2]
-    qg = q.reshape(*lead, G, IN // G, 2 * half)
+    q = jnp.concatenate([hi, lo], axis=-1)           # (..., INp, OUT)
+    Gp = s.shape[-2]
+    qg = q.reshape(*lead, Gp, INp // Gp, 2 * half)
     x = qg * s[..., None, :] + z[..., None, :]
-    return x.reshape(*lead, IN, 2 * half).astype(dtype)
+    # pad groups expand to q = 8/0 nibbles (stored 0x00 un-biases to 0x80),
+    # but s = z = 0 there, so pad rows are exactly zero.
+    return x.reshape(*lead, INp, 2 * half).astype(dtype)
 
 
-def _w4a8_kernel(x_ref, wq_ref, s_ref, z_ref, o_ref, acc_scr,
-                 *, n_groups: int, dtype):
+def _w4a8_kernel(xq_ref, xs_ref, wq_ref, s_ref, z_ref, o_ref, acc_scr,
+                 *, gpb: int, dtype):
     gb = pl.program_id(1)
-    T, BKIN = x_ref.shape
+    nb = pl.num_programs(1)
+    T, BKIN = xq_ref.shape
     half = wq_ref.shape[1]
 
     @pl.when(gb == 0)
     def _():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    x = x_ref[...]
-    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # (T, 1)
-    b = wq_ref[...].astype(x.dtype)                  # (BKIN, half)
-    lo = (wq_ref[...] & 0xF).astype(x.dtype)
-    m1 = jax.lax.dot_general(x, b, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    m2 = jax.lax.dot_general(x, lo, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    qn = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)  # (T, OUT)
-    acc_scr[...] += qn * s_ref[0] + xsum * z_ref[0]
+    wb = wq_ref[...]
+    b8 = jax.lax.bitcast_convert_type(wb, jnp.int8)   # stored = b - 128
+    lo8 = jax.lax.bitcast_convert_type(wb & 0xF, jnp.int8)
 
-    @pl.when(gb == n_groups - 1)
+    acc = jnp.zeros(acc_scr.shape, jnp.float32)
+    for g in range(gpb):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        xg = xq_ref[:, sl]                                   # (T, 128) s8
+        xg_sum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        m1 = jax.lax.dot_general(xg, b8[sl], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        m2 = jax.lax.dot_general(xg, lo8[sl], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        qb = m1.astype(jnp.float32) + 128.0 * xg_sum         # xq_g . bytes
+        qn = jnp.concatenate(
+            [(qb - m2.astype(jnp.float32)) * (1.0 / 16.0),
+             m2.astype(jnp.float32)], axis=1)                # (T, OUT)
+        acc += qn * s_ref[g, 0] + xg_sum * z_ref[g, 0]
+    acc_scr[...] += acc
+
+    @pl.when(gb == nb - 1)
     def _():
-        o_ref[...] = acc_scr[...].astype(dtype)
+        o_ref[...] = (acc_scr[...] * xs_ref[...]).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
@@ -101,27 +134,39 @@ def w4a8_matmul(x: jax.Array, wq4: jax.Array, ws: jax.Array, wz: jax.Array,
                 interpret: bool = False) -> jax.Array:
     """x (T, IN) x int4-packed weights -> (T, OUT) in x.dtype.
 
-    wq4 (IN, OUT//2) uint8 split-packed; ws/wz (IN//128, OUT) f32.
+    wq4 (INp, OUT//2) uint8 split-packed; ws/wz (Gp, OUT) f32 (from
+    :func:`quantize_weight_int4`). Activations are quantized per token to
+    s8 (QServe A8 semantics).
     """
-    T, IN = x.shape
-    half = wq4.shape[1]
-    OUT = 2 * half
-    n_groups = IN // GROUP
-    BT = min(block_t, max(8, T))
-    # pad T to a block multiple (decode T=1 -> one 8-row block)
-    Tp = -(-T // BT) * BT
-    if Tp != T:
-        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+    from kvzip_tpu.ops.quant import quantize_act_int8
 
-    grid = (Tp // BT, n_groups)
+    T, IN = x.shape
+    INp, half = wq4.shape
+    OUT = 2 * half
+    Gp = ws.shape[0]
+    gpb = min(MAX_GPB, Gp)
+    assert Gp % gpb == 0
+    BT = min(block_t, max(8, T))
+    Tp = -(-T // BT) * BT
+
+    xq, xs = quantize_act_int8(x)
+    if INp != IN:
+        xq = jnp.pad(xq, ((0, 0), (0, INp - IN)))
+    if Tp != T:
+        xq = jnp.pad(xq, ((0, Tp - T), (0, 0)))
+        xs = jnp.pad(xs, ((0, Tp - T), (0, 0)))
+
+    grid = (Tp // BT, Gp // gpb)
     out = pl.pallas_call(
-        functools.partial(_w4a8_kernel, n_groups=n_groups, dtype=x.dtype),
+        functools.partial(_w4a8_kernel, gpb=gpb, dtype=x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BT, GROUP), lambda tb, gb: (tb, gb)),
-            pl.BlockSpec((GROUP, half), lambda tb, gb: (gb, 0)),
-            pl.BlockSpec((1, OUT), lambda tb, gb: (gb, 0)),
-            pl.BlockSpec((1, OUT), lambda tb, gb: (gb, 0)),
+            pl.BlockSpec((BT, gpb * GROUP), lambda tb, gb: (tb, gb)),
+            pl.BlockSpec((BT, 1), lambda tb, gb: (tb, 0)),
+            pl.BlockSpec((gpb * GROUP, half), lambda tb, gb: (gb, 0)),
+            # scales: singleton middle axis (Mosaic block-shape rule)
+            pl.BlockSpec((gpb, 1, OUT), lambda tb, gb: (gb, 0, 0)),
+            pl.BlockSpec((gpb, 1, OUT), lambda tb, gb: (gb, 0, 0)),
         ],
         out_specs=pl.BlockSpec((BT, OUT), lambda tb, gb: (tb, 0)),
         out_shape=jax.ShapeDtypeStruct((Tp, OUT), x.dtype),
@@ -129,22 +174,30 @@ def w4a8_matmul(x: jax.Array, wq4: jax.Array, ws: jax.Array, wz: jax.Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(x, wq4, ws, wz)
+    )(xq, xs.astype(jnp.float32), wq4, ws[:, None], wz[:, None])
     out = out[:T]
     if bias is not None:
         out = out + bias
     return out
 
 
-def w4a8_linear(x: jax.Array, w: dict, bias=None,
-                interpret: bool = False) -> jax.Array:
-    """Linear over a {"q4","s","z"} int4 weight dict (jnp fallback off-TPU)."""
-    if interpret or jax.default_backend() == "cpu":
-        return w4a8_matmul(x, w["q4"], w["s"], w["z"], bias, interpret=True) \
-            if x.shape[0] <= 8 else _w4a8_jnp(x, w, bias)
+def w4a8_linear(x: jax.Array, w: dict, bias=None) -> jax.Array:
+    """Linear over a {"q4","s","z"} int4 weight dict (jnp fallback off-TPU,
+    Pallas kernel on TPU)."""
+    if jax.default_backend() == "cpu":
+        return _w4a8_jnp(x, w, bias)
     return w4a8_matmul(x, w["q4"], w["s"], w["z"], bias)
 
 
 def _w4a8_jnp(x: jax.Array, w: dict, bias=None) -> jax.Array:
-    y = x @ dequantize_weight_int4(w, x.dtype)
+    """Dequantized-matmul fallback: same A8 activation rounding as the
+    kernel, bf16/f32 weight expansion (CPU tests)."""
+    from kvzip_tpu.ops.quant import quantize_act_int8
+
+    xq, xs = quantize_act_int8(x)
+    INp = w["q4"].shape[0]
+    if INp != x.shape[-1]:
+        xq = jnp.pad(xq, ((0, 0), (0, INp - x.shape[-1])))
+    deq = dequantize_weight_int4(w, jnp.float32)
+    y = ((xq.astype(jnp.float32) * xs) @ deq).astype(x.dtype)
     return y if bias is None else y + bias

@@ -180,3 +180,46 @@ def test_fused_scores(rng):
     np.testing.assert_allclose(
         np.asarray(got[:, :200], np.float32),
         np.asarray(want[:, :200], np.float32), rtol=0, atol=2e-2)
+
+
+def test_flat_decode_int4_q8(rng):
+    """int8-attention mode compiled on chip: s8 dots + bias-corrected
+    nibbles stay close to the exact int4 path."""
+    from kvzip_tpu.ops.flat_decode import flat_decode_attend_int4
+    from kvzip_tpu.ops.quant import quantize_int4
+    _, _, k_flat, v_flat, row_head, _ = _flat_inputs(rng)
+    tail_cap, tail_used, T = 128, 2, 1
+    k_tail = jnp.asarray(
+        rng.standard_normal((Hkv, tail_cap, D)), jnp.bfloat16)
+    v_tail = jnp.asarray(
+        rng.standard_normal((Hkv, tail_cap, D)), jnp.bfloat16)
+    q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.bfloat16)
+
+    kq, ks, kz = quantize_int4(jnp.asarray(k_flat), pack="split")
+    vq, vs, vz = quantize_int4(jnp.asarray(v_flat), pack="split")
+    args = (q, kq.T, ks[:, 0].astype(jnp.float32),
+            kz[:, 0].astype(jnp.float32), vq.T,
+            vs[:, 0].astype(jnp.float32), vz[:, 0].astype(jnp.float32),
+            jnp.asarray(row_head), k_tail, v_tail,
+            jnp.asarray(tail_used, jnp.int32))
+    exact = flat_decode_attend_int4(*args, scale=SCALE, block=256)
+    got = flat_decode_attend_int4(*args, scale=SCALE, block=256, q8=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(exact, np.float32),
+        rtol=0, atol=8e-2)
+
+
+def test_w4a8_matmul_tpu(rng):
+    """W4A8 Pallas linear compiled on chip vs dequantized reference."""
+    from kvzip_tpu.ops.w4a8 import (dequantize_weight_int4,
+                                    quantize_weight_int4, w4a8_matmul)
+    for T in (1, 16):
+        x = jnp.asarray(rng.standard_normal((T, 256)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((256, 512)) * 0.05, jnp.float32)
+        wq = quantize_weight_int4(w)
+        got = w4a8_matmul(x, wq["q4"], wq["s"], wq["z"])
+        want = (x.astype(jnp.float32)
+                @ dequantize_weight_int4(wq, jnp.float32)).astype(jnp.bfloat16)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=0, atol=0.1)

@@ -4,8 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from kvzip_tpu.ops.w4a8 import (dequantize_weight_int4, quantize_weight_int4,
-                                w4a8_matmul)
+from kvzip_tpu.ops.w4a8 import (_w4a8_jnp, dequantize_weight_int4,
+                                quantize_weight_int4, w4a8_matmul)
 
 
 def test_quant_roundtrip_error_bounded():
@@ -21,7 +21,32 @@ def test_quant_roundtrip_error_bounded():
     assert err.max() <= smax / 2 + 1e-6
 
 
-def test_pallas_matmul_matches_dequant_reference():
+def test_group_padding():
+    """Group counts that don't divide the kernel blocking get zero-padded
+    (s = z = 0 on pad groups) and produce identical results."""
+    rng = np.random.default_rng(5)
+    # IN = 384 -> 3 groups; gpb = 3 (no pad). IN = 2304 -> 18 groups,
+    # gpb = 16 -> Gp = 32 (pad).
+    from kvzip_tpu.ops.quant import quantize_act_int8
+
+    for IN, Gp_want in ((384, 3), (2304, 32)):
+        w = jnp.asarray(rng.standard_normal((IN, 256)) * 0.1, jnp.float32)
+        wq = quantize_weight_int4(w)
+        assert wq["s"].shape[0] == Gp_want
+        x = jnp.asarray(rng.standard_normal((3, IN)), jnp.float32)
+        got = _w4a8_jnp(x, wq)
+        # pad groups must contribute EXACTLY nothing: compare against the
+        # same quantized math restricted to the true IN rows
+        xq, xs = quantize_act_int8(x)
+        deq = dequantize_weight_int4(wq, jnp.float32)[:IN]
+        want = (xq.astype(jnp.float32) * xs) @ deq
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_matmul_matches_jnp_semantics():
+    """Kernel (interpret) == the jnp fallback with identical quantization
+    (both s8 activations, identical scale algebra)."""
     rng = np.random.default_rng(1)
     for T in (1, 8, 33):
         x = jnp.asarray(rng.standard_normal((T, 256)), jnp.float32)
@@ -29,7 +54,7 @@ def test_pallas_matmul_matches_dequant_reference():
         wq = quantize_weight_int4(w)
         got = w4a8_matmul(x, wq["q4"], wq["s"], wq["z"], block_t=8,
                           interpret=True)
-        want = x @ dequantize_weight_int4(wq, jnp.float32)
+        want = _w4a8_jnp(x, wq)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
 
@@ -42,8 +67,7 @@ def test_pallas_matmul_bias_and_bf16():
     wq = quantize_weight_int4(w)
     got = w4a8_matmul(x, wq["q4"], wq["s"], wq["z"], bias=b, block_t=8,
                       interpret=True)
-    want = (x.astype(jnp.float32) @ dequantize_weight_int4(wq, jnp.float32)
-            + b).astype(jnp.bfloat16)
+    want = _w4a8_jnp(x, wq, bias=b)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=0.05, atol=0.05)

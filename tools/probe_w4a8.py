@@ -1,14 +1,19 @@
-"""On-chip probe: W4A8 Pallas matvec vs XLA int8_linear at decode shapes.
+"""On-chip probe: W4A8 vs W8A8 decode linears at the REAL access pattern.
 
-Decision gate for wiring weight_quant="w4a8" into the engine: the int4
-kernel must beat int8 by ~1.5x+ on the large MLP shapes (it halves HBM
-bytes; VPU nibble costs eat some of that back).
+A single weight matrix looped in-place fits in VMEM and stops reading HBM —
+useless as a decode proxy. This probe scans a full 28-layer stacked
+parameter set (6.2 GB int8 / 3.3 GB int4), exactly like the model's
+lax.scan, and times n chained scans inside one jit (slope over n, tunnel-
+dispatch free).
 
-    timeout 1800 python tools/probe_w4a8.py
+Decision gate for the w4a8 flagship bench config.
+
+    timeout 2400 python tools/probe_w4a8.py
 """
 
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -18,69 +23,109 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from functools import partial
-
 from kvzip_tpu.ops.quant import int8_linear, quantize_weight_int8
 from kvzip_tpu.ops.w4a8 import quantize_weight_int4, w4a8_matmul
+
+L = 28
+D, HD, KVD, I = 3584, 4096, 512, 18944  # qwen2.5-7b-ish shapes
 
 
 def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def slope(fn, n1=8, n2=32):
-    """Chained-reps slope timing (tunnel-dispatch free)."""
-    fn(n1)
-    fn(n2)
-    t0 = time.time(); jax.block_until_ready(fn(n1)); t1 = time.time() - t0
-    t0 = time.time(); jax.block_until_ready(fn(n2)); t2 = time.time() - t0
-    return (t2 - t1) / (n2 - n1)
+def make_stack(key, quant_fn):
+    """Layer-by-layer fabrication: a whole-stack f32 normal would need a
+    7.6 GB transient per weight (OOM next to the stacks themselves)."""
+    shapes = dict(wq=(L, D, HD), wk=(L, D, KVD), wv=(L, D, KVD),
+                  wo=(L, HD, D), w_gate=(L, D, I), w_up=(L, D, I),
+                  w_down=(L, I, D))
+    out = {}
+    for i, (n, s) in enumerate(shapes.items()):
+        Ls, IN, OUT = s
+        sample = jax.eval_shape(quant_fn, jax.ShapeDtypeStruct(
+            (IN, OUT), jnp.bfloat16))
+        bufs = {k: jnp.zeros((Ls, *a.shape), a.dtype)
+                for k, a in sample.items()}
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def fill(bufs, k, l, IN=IN, OUT=OUT):
+            w = (jax.random.normal(k, (IN, OUT), jnp.float32) * 0.02
+                 ).astype(jnp.bfloat16)
+            q = quant_fn(w)
+            return {kk: jax.lax.dynamic_update_slice(
+                bufs[kk], q[kk][None].astype(bufs[kk].dtype),
+                (l,) + (0,) * q[kk].ndim) for kk in bufs}
+
+        for l in range(Ls):
+            bufs = fill(bufs, jax.random.fold_in(key, i * 100 + l),
+                        jnp.int32(l))
+        jax.block_until_ready(bufs)
+        out[n] = bufs
+    return out
+
+
+def lin(x, w):
+    if "q4" in w:
+        return w4a8_matmul(x, w["q4"], w["s"], w["z"])
+    return int8_linear(x, w["q"], w["s"])
+
+
+def layer_chain(x, wp):
+    q = lin(x, {k: v for k, v in wp["wq"].items()})
+    k = lin(x, wp["wk"])
+    v = lin(x, wp["wv"])
+    att = q + k.sum() + v.sum()          # (T, HD)
+    x = x + lin(att, wp["wo"])
+    mlp = lin(jax.nn.silu(lin(x, wp["w_gate"])) * lin(x, wp["w_up"]),
+              wp["w_down"])
+    return x + mlp
+
+
+@partial(jax.jit, static_argnames=("n",))
+def run_scan(x, stack, n):
+    def body(x, wp):
+        return layer_chain(x, wp), None
+
+    def rep(i, x):
+        y, _ = jax.lax.scan(body, x, stack)
+        return y
+
+    return jax.lax.fori_loop(0, n, rep, x)
+
+
+def slope(fn, n1=4, n2=16):
+    # device_get, not block_until_ready: the axon tunnel does not
+    # synchronize execution on block_until_ready (NOTES.md gotcha)
+    np.asarray(jax.device_get(fn(n1)))
+    np.asarray(jax.device_get(fn(n2)))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time(); np.asarray(jax.device_get(fn(n1)))
+        t1 = time.time() - t0
+        t0 = time.time(); np.asarray(jax.device_get(fn(n2)))
+        t2 = time.time() - t0
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return best
 
 
 def main():
     key = jax.random.PRNGKey(0)
-    shapes = [(3584, 4608, "qkv-fused"), (3584, 3584, "wo"),
-              (3584, 18944, "gate/up"), (18944, 3584, "down")]
-    for T in (1, 16):
-        log(f"==== T={T} ====")
-        for IN, OUT, name in shapes:
-            w = jax.random.normal(key, (IN, OUT), jnp.float32) * 0.02
-            x = jax.random.normal(key, (T, IN), jnp.bfloat16)
-            w8 = quantize_weight_int8(w)
-            w4 = quantize_weight_int4(w)
+    gb8 = L * (D * HD + 2 * D * KVD + HD * D + 2 * D * I + I * D) / 1e9
+    gb4 = gb8 / 2 + L * (2 * (D // 128) * (HD + 2 * KVD + D + 2 * I)
+                         + 2 * (I // 128) * D) * 4 / 1e9
 
-            @partial(jax.jit, static_argnames=("n",))
-            def chain8(x, wq, ws, n):
-                for _ in range(n):
-                    y = int8_linear(x, wq, ws)
-                    x = x + y[:, :IN] * 1e-6 if OUT >= IN else \
-                        x + jnp.pad(y, ((0, 0), (0, IN - OUT))) * 1e-6
-                return x
-
-            @partial(jax.jit, static_argnames=("n",))
-            def chain4(x, q4, s, z, n):
-                for _ in range(n):
-                    y = w4a8_matmul(x, q4, s, z)
-                    x = x + y[:, :IN] * 1e-6 if OUT >= IN else \
-                        x + jnp.pad(y, ((0, 0), (0, IN - OUT))) * 1e-6
-                return x
-
-            dt8 = slope(lambda n: chain8(x, w8["q"], w8["s"], n))
-            dt4 = slope(lambda n: chain4(x, w4["q4"], w4["s"], w4["z"], n))
-            gb8 = IN * OUT / 1e9
-            gb4 = IN * OUT / 2e9 + 2 * (IN // 128) * OUT * 4 / 1e9
-            log(f"{name:10s} int8 {dt8 * 1e6:8.1f} us ({gb8 / dt8:5.0f} GB/s)"
-                f" | int4 {dt4 * 1e6:8.1f} us ({gb4 / dt4:5.0f} GB/s)"
-                f" | speedup {dt8 / dt4:4.2f}x")
-
-            # parity spot check
-            y8 = int8_linear(x, w8["q"], w8["s"])
-            y4 = w4a8_matmul(x, w4["q4"], w4["s"], w4["z"])
-            yref = x.astype(jnp.float32) @ w
-            e8 = float(jnp.abs(y8.astype(jnp.float32) - yref).max())
-            e4 = float(jnp.abs(y4.astype(jnp.float32) - yref).max())
-            log(f"{'':10s} |err| int8 {e8:.4f}  int4 {e4:.4f} "
-                f"(ref max {float(jnp.abs(yref).max()):.3f})")
+    for tag, qfn, gb in (("int8", quantize_weight_int8, gb8),
+                         ("int4", quantize_weight_int4, gb4)):
+        stack = make_stack(key, qfn)
+        for T in (1, 16):
+            x = jax.random.normal(key, (T, D), jnp.bfloat16)
+            dt = slope(lambda n: run_scan(x, stack, n))
+            log(f"{tag} T={T:2d}: {dt * 1e3:7.2f} ms / 28-layer step "
+                f"({gb / dt:5.0f} GB/s over {gb:.2f} GB)")
+        del stack
+        import gc
+        gc.collect()
 
 
 if __name__ == "__main__":

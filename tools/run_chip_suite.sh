@@ -29,4 +29,8 @@ run bench_7b_32k_w8a8 2400 env BENCH_CHILD=1 BENCH_MODEL=qwen2.5-7b \
 # 4. batched serving aggregate (VERDICT r1 item 8: > 4x single-stream)
 run bench_serving 3000 python tools/bench_serving.py 8
 
+# 5. on-chip Pallas kernel lane (incl. new q8 + w4a8 kernels)
+run tpu_kernel_lane 2400 env KVZIP_TPU_TESTS=1 \
+    python -m pytest tests/test_tpu_kernels.py -m tpu -q -n 0
+
 echo "suite done" >&2
