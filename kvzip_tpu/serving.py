@@ -98,6 +98,65 @@ class Scheduler:
         self._queue.append((rid, query, state, max_new_tokens))
         return rid
 
+    def run_continuous(self, segment: int = 32) -> List[str]:
+        """Drain the queue with CONTINUOUS batching: decode in fixed
+        ``segment``-step rounds; after each round, finished sequences
+        retire (their context cache is restored for reuse) and queued
+        requests are admitted into the freed slots mid-flight — the batch
+        never drains to refill. Requests whose cache class differs from
+        the current batch wait until the batch empties.
+
+        Returns outputs ordered by request id.
+        """
+        out: dict = {}
+        pending = list(self._queue)
+        self._queue.clear()
+        slots: List[dict] = []
+
+        def admit():
+            while pending and len(slots) < self.max_batch:
+                head_type = (type(slots[0]["state"].cache) if slots
+                             else type(pending[0][2].cache))
+                idx = next((i for i, r in enumerate(pending)
+                            if isinstance(r[2].cache, head_type)), None)
+                if idx is None:
+                    break
+                rid, q, st, mn = pending.pop(idx)
+                st.snapshot()
+                logits = self.engine._forward_chunks(
+                    np.asarray(q, np.int32), st, "last")
+                first = int(jax.device_get(jnp.argmax(logits[-1])))
+                slots.append(dict(rid=rid, state=st, tokens=[first],
+                                  budget=(mn or self.engine.max_new_tokens)))
+
+        admit()
+        while slots:
+            n_steps = min(segment,
+                          max(s["budget"] - len(s["tokens"]) + 1
+                              for s in slots))
+            toks = _decode_segment(
+                self.engine, [s["state"] for s in slots],
+                [s["tokens"][-1] for s in slots], n_steps)
+            for s, seq in zip(slots, toks):
+                s["tokens"].extend(int(t) for t in seq)
+            keep = []
+            for s in slots:
+                done = (len(s["tokens"]) > s["budget"]
+                        or (len(s["tokens"]) > 1 and
+                            s["tokens"][-1] in self.engine.eos_ids))
+                if done:
+                    seq = np.asarray(s["tokens"][:s["budget"]])
+                    stop = np.isin(seq, np.asarray(self.engine.eos_ids))
+                    if stop.any():
+                        seq = seq[:int(np.argmax(stop))]
+                    out[s["rid"]] = self.engine.decode(seq)
+                    s["state"].restore_snapshot()
+                else:
+                    keep.append(s)
+            slots = keep
+            admit()
+        return [out[i] for i in sorted(out)]
+
     def run(self) -> List[str]:
         """Drain the queue; returns outputs ordered by request id."""
         out: dict = {}
@@ -121,6 +180,56 @@ class Scheduler:
             for (rid, *_), text in zip(batch, results):
                 out[rid] = text
         return [out[i] for i in sorted(out)]
+
+
+def _decode_segment(engine: Engine, states: Sequence[KVState],
+                    last_tokens: Sequence[int], n_steps: int) -> np.ndarray:
+    """Decode exactly ``n_steps`` greedy tokens for every state, batched.
+
+    Returns (B, n_steps) new tokens; each state's cache keeps its grown
+    tail (the continuous-batching round loop owns snapshot/restore).
+    Compiles per (B, capacity, n_steps) combination — the scheduler keeps
+    ``segment`` fixed so recompiles only happen as the batch shrinks.
+    """
+    B = len(states)
+    cfg = engine.config
+    batched = stack_caches([st.cache for st in states])
+    tok0 = jnp.asarray(np.asarray(last_tokens, np.int32))
+
+    if isinstance(states[0].cache, (FlatKV, FlatInt4KV)):
+        if jax.default_backend() == "cpu":
+            impl = "flash_interpret"
+        elif (engine.attn_quant == "int8"
+              and isinstance(states[0].cache, FlatInt4KV)):
+            impl = "flash_q8"
+        else:
+            impl = "flash"
+    else:
+        impl = "blockwise"
+    step = partial(forward, collect_logits="last", attn_impl=impl)
+
+    @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
+    def seg(params, cache, tok, n):
+        def one(t, c):
+            res = step(params, cfg, t[None], c)
+            return jnp.argmax(res.logits[-1]).astype(jnp.int32), res.cache
+
+        def body(i, carry):
+            tok, tokens, cache = carry
+            nxt, cache = jax.vmap(one)(tok, cache)
+            tokens = tokens.at[:, i].set(nxt)
+            return (nxt, tokens, cache)
+
+        tokens0 = jnp.zeros((B, n), jnp.int32)
+        _, tokens, cache = jax.lax.fori_loop(
+            0, n, body, (tok, tokens0, cache))
+        return tokens, cache
+
+    tokens, batched = seg(engine.params, batched, tok0, n_steps)
+    tokens = np.asarray(jax.device_get(tokens))
+    for b, st in enumerate(states):
+        st.cache = jax.tree.map(lambda x: x[b], batched)
+    return tokens
 
 
 def batched_generate(

@@ -97,3 +97,39 @@ def test_batched_flat_matches_sequential():
     import jax
     for st in states:
         assert int(jax.device_get(st.cache.tail_len)) == 0
+
+
+def test_continuous_batching_admission():
+    """run_continuous: sequences retire mid-flight and queued requests are
+    admitted into freed slots; outputs match sequential generation."""
+    from kvzip_tpu.serving import Scheduler
+
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg,
+                 dtype=jnp.float32, max_new_tokens=8, decode_budget=256,
+                 capacity_granularity=256, score_chunk_size=256,
+                 flat_decode="on")
+
+    ctxs = CTXS + ["A third context about the color vermilion. " * 21,
+                   "Fourth context: the password is 9441. " * 23]
+    states = [eng.prefill(c, prefill_chunk_size=300) for c in ctxs]
+    for st, r in zip(states, (0.5, 0.4, 0.6, 0.5)):
+        eng.prune(st, r, "pair")
+    queries = [eng.apply_template(q) for q in (
+        "What word is hidden?", "Which number appears?",
+        "Which color is named?", "What is the password?")]
+    budgets = [3, 8, 5, 6]  # distinct budgets force mid-flight retirement
+
+    want = [eng.generate(q, st, max_new_tokens=mn)
+            for q, st, mn in zip(queries, states, budgets)]
+
+    sched = Scheduler(eng, max_batch=2)  # 4 requests, 2 slots -> admission
+    for q, st, mn in zip(queries, states, budgets):
+        sched.submit(q, st, max_new_tokens=mn)
+    got = sched.run_continuous(segment=4)
+    assert got == want
+    # caches restored for reuse
+    import jax
+    for st in states:
+        assert int(jax.device_get(st.cache.tail_len)) == 0
