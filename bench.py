@@ -34,12 +34,12 @@ def _full_flat_state(eng, state, flat_int4: bool, tail_cap: int):
     import jax.numpy as jnp
 
     from kvzip_tpu.cache import FlatInt4KV, FlatKV
-    from kvzip_tpu.engine import KVState, _round_up
+    from kvzip_tpu.engine import KVState, _round_flat_rows
 
     cfg = eng.config
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     per_head = state.ctx_len + state.sink
-    r_pad = _round_up(H * per_head, 8192)
+    r_pad = _round_flat_rows(H * per_head)
     key = __import__("jax").random.PRNGKey(7)
     rh = np.full((r_pad,), -1, np.int32)
     rh[:H * per_head] = np.repeat(np.arange(H, dtype=np.int32), per_head)
@@ -50,13 +50,13 @@ def _full_flat_state(eng, state, flat_int4: bool, tail_cap: int):
         tail_len=jnp.zeros((), jnp.int32),
         seen=jnp.asarray(per_head, jnp.int32),
     )
-    import jax as _jax
+    # constant fill: decode TIME is value-independent (no data-dependent
+    # branches on TPU), and jax.random.randint/normal materialize an
+    # int32/f32 intermediate of the full shape — 17 GB at 288k (OOM)
     if flat_int4:
         cache = FlatInt4KV(
-            k_flat_q=_jax.random.randint(key, (L, D // 2, r_pad), 0, 255,
-                                         jnp.uint8),
-            v_flat_q=_jax.random.randint(key, (L, D // 2, r_pad), 0, 255,
-                                         jnp.uint8),
+            k_flat_q=jnp.full((L, D // 2, r_pad), 0x5A, jnp.uint8),
+            v_flat_q=jnp.full((L, D // 2, r_pad), 0xA5, jnp.uint8),
             k_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
             k_flat_z=jnp.full((L, r_pad), -0.05, jnp.float32),
             v_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
@@ -66,8 +66,8 @@ def _full_flat_state(eng, state, flat_int4: bool, tail_cap: int):
             **common)
     else:
         cache = FlatKV(
-            k_flat=_jax.random.normal(key, (L, D, r_pad), eng.dtype),
-            v_flat=_jax.random.normal(key, (L, r_pad, D), eng.dtype),
+            k_flat=jnp.full((L, D, r_pad), 0.02, eng.dtype),
+            v_flat=jnp.full((L, r_pad, D), 0.03, eng.dtype),
             k_tail=jnp.zeros((L, H, tail_cap, D), eng.dtype),
             v_tail=jnp.zeros((L, H, tail_cap, D), eng.dtype),
             **common)

@@ -48,6 +48,15 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _round_flat_rows(n: int) -> int:
+    """Flat r_pad bucket: 8192 at small row counts (few grid steps anyway,
+    keeps tiny-test memory small), 32768 beyond 64k rows so the decode
+    kernel can run 16k/32k key blocks — at 288k+ contexts the ~2-4 us
+    per-grid-step floor on 8192-row blocks costs more per token than the
+    attention compute itself."""
+    return _round_up(n, 8192 if n <= 65536 else 32768)
+
+
 @dataclasses.dataclass
 class KVState:
     """Host-side handle for one context's compressed cache (cf. reference
@@ -314,7 +323,7 @@ class Engine:
             return
         lens = np.asarray(jax.device_get(cache.lengths))
         rows = int((lens + cur).sum(axis=-1).max())
-        state.cache = refold_flat(cache, _round_up(rows, 8192))
+        state.cache = refold_flat(cache, _round_flat_rows(rows))
         state.snapshot()
 
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
@@ -538,9 +547,9 @@ class Engine:
                 # 8192 granularity: lets the flat kernels run 8192-row blocks
                 # (fewer grid steps against the 2-4 us/step floor) and buckets
                 # r_pad coarsely so prune() recompiles less across ctx lengths
-                r_pad = _round_up(
+                r_pad = _round_flat_rows(
                     int(per_layer.max())
-                    + state.sink * self.config.num_kv_heads, 8192)
+                    + state.sink * self.config.num_kv_heads)
                 if isinstance(state.cache, Int4KVCache):
                     # stepped: consumes the dense cache array-by-array so
                     # dense + flat never fully coexist (320k+ ctx on 16 GB)
@@ -580,7 +589,7 @@ class Engine:
             raise RuntimeError("cache is already flat")
         L, H = self.config.num_layers, self.config.num_kv_heads
         keep = jnp.ones((L, H, state.ctx_len), bool)
-        r_pad = _round_up(H * (state.ctx_len + state.sink), 8192)
+        r_pad = _round_flat_rows(H * (state.ctx_len + state.sink))
         if isinstance(state.cache, Int4KVCache):
             cache = build_flat_int4(state.cache, keep, state.sink, r_pad,
                                     self.decode_budget, self.dtype)

@@ -46,12 +46,21 @@ NEG_INF = float("-inf")
 
 def _pick_block(R: int, block: int, rows: int) -> int:
     """Key-block size: fits the (rows, BLK) fp32 score tile (and its exp/
-    matmul temporaries) in ~4MB of VMEM and divides R. Rounded DOWN to a
-    power of two first — R is a multiple of a power of two, so a
-    non-power-of-two start could skip every lane-aligned divisor and
-    collapse to BLK=1 (ADVICE r1)."""
-    blk = min(block, max(128, (4 * 2 ** 20 // (4 * rows)) // 128 * 128))
-    blk = 1 << (blk.bit_length() - 1)
+    matmul temporaries) in VMEM and divides R. Rounded DOWN to a power of
+    two first — R is a multiple of a power of two, so a non-power-of-two
+    start could skip every lane-aligned divisor and collapse to BLK=1
+    (ADVICE r1).
+
+    At large R the per-grid-step fixed cost (~2-4 us) dominates small
+    blocks — 8192-row blocks at a 2.4M-row full-flat view cost ~24 ms of
+    pure floor per 28-layer decode step — so the target grows to keep the
+    grid near ~24 steps (callers round r_pad to 32768 at large contexts
+    so 16k/32k blocks divide it)."""
+    tgt = max(block, R // 24)
+    blk = 1 << max(tgt - 1, 1).bit_length()          # round UP to pow2
+    vmem_cap = max(128, (6 * 2 ** 20 // (4 * rows)) // 128 * 128)
+    cap = 1 << (min(vmem_cap, 32768).bit_length() - 1)  # round cap DOWN
+    blk = min(blk, cap)
     while R % blk and blk > 1:
         blk //= 2
     return blk

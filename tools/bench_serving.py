@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from kvzip_tpu.cache import FlatInt4KV  # noqa: E402
 from kvzip_tpu.config import resolve_config  # noqa: E402
-from kvzip_tpu.engine import Engine, KVState, _round_up  # noqa: E402
+from kvzip_tpu.engine import Engine, KVState, _round_flat_rows  # noqa: E402
 from kvzip_tpu.serving import batched_generate  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -39,7 +39,7 @@ def log(m):
 def make_state(eng, cfg, seed):
     L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
     rows = int(H * CTX * RATIO)
-    r_pad = _round_up(rows, 8192)
+    r_pad = _round_flat_rows(rows)
     tail_cap = eng.decode_budget
     key = jax.random.PRNGKey(seed)
     rh = np.full((r_pad,), -1, np.int32)
