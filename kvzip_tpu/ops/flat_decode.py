@@ -363,7 +363,10 @@ def flat_decode_attend_int4(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H * T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            # 32k-row key blocks overflow the default 16 MB scoped-vmem
+            # budget by <1 MB; v5e has 128 MB of VMEM
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(meta, q2, row_head.astype(jnp.int32)[:, None],
       k_flat_q, k_flat_s.astype(jnp.float32)[:, None],
@@ -433,7 +436,8 @@ def flat_decode_attend(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((H * T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(meta, q2, row_head.astype(jnp.int32)[:, None], k_flat, v_flat,
       k_tail, v_tail)
