@@ -231,6 +231,7 @@ def flash_attend_int4(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hkv, G, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(base_lens.astype(jnp.int32), q_pos0.astype(jnp.int32)[None], qg,

@@ -127,6 +127,7 @@ def ragged_decode_attend(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hkv, G, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(base_lens.astype(jnp.int32), qg, k_cache, v_cache)

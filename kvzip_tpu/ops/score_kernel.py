@@ -126,6 +126,7 @@ def fused_scores(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Hkv, s_ctx), jnp.float32),
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
             # all programs accumulate into one shared out block
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,

@@ -172,6 +172,7 @@ def w4a8_matmul(x: jax.Array, wq4: jax.Array, ws: jax.Array, wz: jax.Array,
         out_shape=jax.ShapeDtypeStruct((Tp, OUT), x.dtype),
         scratch_shapes=[pltpu.VMEM((BT, OUT), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(xq, xs.astype(jnp.float32), wq4, ws[:, None], wz[:, None])

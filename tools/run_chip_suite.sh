@@ -14,10 +14,7 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "--- rc=$? $name done ($(date +%H:%M:%S))" >&2
 }
 
-# 1. W4A8 probe (decides the flagship weight format)
-run probe_w4a8 1800 python tools/probe_w4a8.py
-
-# 2. 7B/131k headline (w8a8+int4)
+# 1. 7B/131k headline (w8a8+int4)
 run bench_7b_131k 3300 env BENCH_CHILD=1 BENCH_MODEL=qwen2.5-7b \
     BENCH_CTX=131072 BENCH_WEIGHT_QUANT=w8a8 BENCH_KV_QUANT=int4 \
     BENCH_EMBED_QUANT=int8 python bench.py
