@@ -182,6 +182,23 @@ class Scheduler:
         return [out[i] for i in sorted(out)]
 
 
+_MUT_FIELDS = ("k_tail", "v_tail", "tail_len", "seen")
+
+
+def _split_frozen(cache):
+    """(mut0, as_cache, get_mut) for a decode loop whose carry must hold
+    only the MUTABLE cache pieces. Flat caches freeze their multi-GB
+    context arrays during decode — a loop carry that includes them risks a
+    full copy per iteration (XLA does not reliably alias pass-through
+    carry elements of a vmapped body)."""
+    if isinstance(cache, (FlatKV, FlatInt4KV)):
+        mut0 = {f: getattr(cache, f) for f in _MUT_FIELDS}
+        return (mut0,
+                lambda mut: dataclasses.replace(cache, **mut),
+                lambda c2: {f: getattr(c2, f) for f in _MUT_FIELDS})
+    return cache, (lambda mut: mut), (lambda c2: c2)
+
+
 def _decode_segment(engine: Engine, states: Sequence[KVState],
                     last_tokens: Sequence[int], n_steps: int) -> np.ndarray:
     """Decode exactly ``n_steps`` greedy tokens for every state, batched.
@@ -214,16 +231,21 @@ def _decode_segment(engine: Engine, states: Sequence[KVState],
             res = step(params, cfg, t[None], c)
             return jnp.argmax(res.logits[-1]).astype(jnp.int32), res.cache
 
+        # frozen flat context arrays stay OUT of the loop carry (engine
+        # _decode_loop design): a multi-GB invariant carry element gets
+        # copied every iteration (measured 0.7x aggregate at B=8)
+        mut0, as_cache, get_mut = _split_frozen(cache)
+
         def body(i, carry):
-            tok, tokens, cache = carry
-            nxt, cache = jax.vmap(one)(tok, cache)
+            tok, tokens, mut = carry
+            nxt, c2 = jax.vmap(one)(tok, as_cache(mut))
             tokens = tokens.at[:, i].set(nxt)
-            return (nxt, tokens, cache)
+            return (nxt, tokens, get_mut(c2))
 
         tokens0 = jnp.zeros((B, n), jnp.int32)
-        _, tokens, cache = jax.lax.fori_loop(
-            0, n, body, (tok, tokens0, cache))
-        return tokens, cache
+        _, tokens, mut = jax.lax.fori_loop(
+            0, n, body, (tok, tokens0, mut0))
+        return tokens, as_cache(mut)
 
     tokens, batched = seg(engine.params, batched, tok0, n_steps)
     tokens = np.asarray(jax.device_get(tokens))
@@ -296,23 +318,28 @@ def batched_generate(
             res = step(params, cfg, tok[None], c)
             return jnp.argmax(res.logits[-1]).astype(jnp.int32), res.cache
 
+        # frozen flat context arrays stay OUT of the while carry (see
+        # engine._decode_loop): carrying them copies GBs per iteration
+        mut0, as_cache, get_mut = _split_frozen(cache)
+
         def cond(carry):
             i, done, _, _ = carry
             return (~jnp.all(done)) & (i < max_steps)
 
         def body(carry):
-            i, done, tokens, cache = carry
-            nxt, cache = jax.vmap(one, in_axes=(0, 0))(tokens[:, i], cache)
+            i, done, tokens, mut = carry
+            nxt, c2 = jax.vmap(one, in_axes=(0, 0))(tokens[:, i],
+                                                    as_cache(mut))
             # frozen sequences keep emitting their last token (masked out later)
             nxt = jnp.where(done, tokens[:, i], nxt)
             tokens = tokens.at[:, i + 1].set(nxt)
             done = done | jnp.isin(nxt, eos)
-            return (i + 1, done, tokens, cache)
+            return (i + 1, done, tokens, get_mut(c2))
 
         done0 = jnp.isin(first, eos)
-        i, done, tokens, cache = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), done0, tokens0, cache))
-        return tokens, i, cache
+        i, done, tokens, mut = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), done0, tokens0, mut0))
+        return tokens, i, as_cache(mut)
 
     tokens, n, batched = decode(engine.params, batched, first_tok,
                                 max_new - 1)
