@@ -75,8 +75,6 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
     Tcap = kt_ref.shape[1]
     Hkv = kt_ref.shape[0]
 
-    tail_len = meta_ref[0]
-
     @pl.when(kb == 0)
     def _():
         m_scr[...] = jnp.full((HT, 1), NEG_INF, jnp.float32)
@@ -113,8 +111,10 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
         rows_h = g * n_q
         col_t = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 1)
         qi = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 0) % n_q
-        maskt = col_t < tail_len + qi + 1
         for hh in range(Hkv):
+            # per-head tail length (merged-batch decode: one independent
+            # sequence per merged head group)
+            maskt = col_t < meta_ref[1 + hh] + qi + 1
             sl = slice(hh * rows_h, (hh + 1) * rows_h)
             st = jax.lax.dot_general(
                 q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
@@ -158,7 +158,6 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     HT, D = q_ref.shape
     Tcap = kt_ref.shape[1]
     Hkv = kt_ref.shape[0]
-    tail_len = meta_ref[0]
 
     @pl.when(kb == 0)
     def _():
@@ -261,8 +260,8 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
         rows_h = g * n_q
         col_t = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 1)
         qi = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 0) % n_q
-        maskt = col_t < tail_len + qi + 1
         for hh in range(Hkv):
+            maskt = col_t < meta_ref[1 + hh] + qi + 1
             sl = slice(hh * rows_h, (hh + 1) * rows_h)
             st = jax.lax.dot_general(
                 q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
@@ -326,11 +325,12 @@ def flat_decode_attend_int4(
     nb = R // BLK
 
     q2 = q.transpose(1, 0, 2).reshape(H * T, D)
-    meta = jnp.stack([tail_len.astype(jnp.int32),
-                      layer.astype(jnp.int32)])
+    tl = tail_len.astype(jnp.int32)
+    tl = jnp.broadcast_to(tl, (Hkv,)) if tl.ndim == 0 else tl
+    meta = jnp.concatenate([layer.astype(jnp.int32)[None], tl])
 
     def blk1(kb, m):
-        return (m[1], 0, kb)
+        return (m[0], 0, kb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -407,17 +407,18 @@ def flat_decode_attend(
 
     # q rows ordered head-major: r = h * T + i
     q2 = q.transpose(1, 0, 2).reshape(H * T, D)
-    meta = jnp.stack([tail_len.astype(jnp.int32),
-                      layer.astype(jnp.int32)])
+    tl = tail_len.astype(jnp.int32)
+    tl = jnp.broadcast_to(tl, (Hkv,)) if tl.ndim == 0 else tl
+    meta = jnp.concatenate([layer.astype(jnp.int32)[None], tl])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda kb, m: (m[1], 0, kb)),
-            pl.BlockSpec((1, D, BLK), lambda kb, m: (m[1], 0, kb)),
-            pl.BlockSpec((1, BLK, D), lambda kb, m: (m[1], kb, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda kb, m: (m[0], 0, kb)),
+            pl.BlockSpec((1, D, BLK), lambda kb, m: (m[0], 0, kb)),
+            pl.BlockSpec((1, BLK, D), lambda kb, m: (m[0], kb, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
         ],

@@ -182,6 +182,193 @@ class Scheduler:
         return [out[i] for i in sorted(out)]
 
 
+# ---------------------------------------------------------- merged decode
+# The TPU-native batched decode: rather than vmapping the single-sequence
+# forward (vmap of the Pallas flat kernel compiles pathologically and
+# executes near-serially), the B flat caches MERGE into ONE flat cache —
+# per-row head ids already isolate sequences inside the kernel, so with
+# seq-major query rows the existing head mapping r // g produces merged
+# head ids (b * H_kv + h) verbatim. One kernel launch and one weight read
+# serve the whole batch; per-sequence positions ride a (B,) vector and
+# per-sequence tail lengths a (B * H_kv,) vector.
+
+def _merge_flat(caches: Sequence) -> dict:
+    """Concatenate flat caches into one merged flat view."""
+    is_int4 = isinstance(caches[0], FlatInt4KV)
+    B = len(caches)
+    Hkv = caches[0].k_tail.shape[1]
+    row_head = jnp.concatenate(
+        [jnp.where(c.row_head >= 0, c.row_head + b * Hkv, -1)
+         for b, c in enumerate(caches)], axis=-1)
+    out = dict(
+        row_head=row_head,
+        k_tail=jnp.concatenate([c.k_tail for c in caches], axis=1),
+        v_tail=jnp.concatenate([c.v_tail for c in caches], axis=1),
+        tail_lens=jnp.concatenate(
+            [jnp.broadcast_to(c.tail_len[None], (Hkv,)) for c in caches]),
+        seen=jnp.stack([c.seen for c in caches]),
+        is_int4=is_int4, B=B,
+    )
+    if is_int4:
+        for f in ("k_flat_q", "v_flat_q"):
+            out[f] = jnp.concatenate([getattr(c, f) for c in caches], axis=-1)
+        for f in ("k_flat_s", "k_flat_z", "v_flat_s", "v_flat_z"):
+            out[f] = jnp.concatenate([getattr(c, f) for c in caches], axis=-1)
+    else:
+        out["k_flat"] = jnp.concatenate([c.k_flat for c in caches], axis=-1)
+        out["v_flat"] = jnp.concatenate([c.v_flat for c in caches], axis=1)
+    return out
+
+
+def _merged_decode(engine: Engine, states: Sequence[KVState],
+                   first_tokens, max_steps: int,
+                   stop_on_eos: bool = True):
+    """Greedy-decode ``max_steps`` tokens for B merged flat sequences.
+
+    Returns (tokens (B, max_steps + 1) incl. the first token, n_steps done,
+    per-state grown tails applied back to ``states``). One jitted while
+    loop; weights are read once per step for the whole batch.
+    """
+    import numpy as _np
+
+    cfg = engine.config
+    B = len(states)
+    H, Hkv, Dh = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers
+    eos = jnp.asarray(engine.eos_ids, jnp.int32)
+    q8 = (engine.attn_quant == "int8"
+          and isinstance(states[0].cache, FlatInt4KV))
+    interp = jax.default_backend() == "cpu"
+    m = _merge_flat([st.cache for st in states])
+    is_int4 = m["is_int4"]
+    scale = cfg.query_scale if cfg.query_scale is not None else Dh ** -0.5
+
+    from kvzip_tpu.cache import append_layer
+    from kvzip_tpu.models.rope import apply_rope, rope_cos_sin
+    from kvzip_tpu.models.transformer import (_act, _head_norm, _lin,
+                                              _lin_shared, rms_norm)
+    from kvzip_tpu.ops.flat_decode import (flat_decode_attend,
+                                           flat_decode_attend_int4)
+    from kvzip_tpu.ops.quant import embed_lookup, head_logits
+
+    if is_int4:
+        flat_args = (m["k_flat_q"], m["k_flat_s"], m["k_flat_z"],
+                     m["v_flat_q"], m["v_flat_s"], m["v_flat_z"])
+    else:
+        flat_args = (m["k_flat"], m["v_flat"])
+
+    def step(params, toks, seen, tail_lens, k_tail, v_tail, flat, row_head):
+        x = embed_lookup(params["embed"], toks)              # (B, Dm)
+        if cfg.gemma_style_norm:
+            x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+        cos, sin = rope_cos_sin(cfg.rope, Dh, seen)
+
+        def layer_fn(carry, xs):
+            x, kt_all, vt_all = carry
+            lp, li = xs
+            h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps,
+                         gemma=cfg.gemma_style_norm)
+            q, k, v = _lin_shared(
+                h, (lp["wq"], lp["wk"], lp["wv"]),
+                (lp.get("bq"), lp.get("bk"), lp.get("bv")))
+            q = q.reshape(B, H, Dh)
+            k = k.reshape(B, Hkv, Dh)
+            v = v.reshape(B, Hkv, Dh)
+            if cfg.qk_norm:
+                q = _head_norm(q, lp["q_norm"], cfg.rms_norm_eps,
+                               cfg.gemma_style_norm)
+                k = _head_norm(k, lp["k_norm"], cfg.rms_norm_eps,
+                               cfg.gemma_style_norm)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+            # tail append at per-head offsets (seq-major merged heads)
+            kt, vt = append_layer(kt_all[li], vt_all[li], tail_lens,
+                                  k.reshape(1, B * Hkv, Dh),
+                                  v.reshape(1, B * Hkv, Dh))
+            kt_all = kt_all.at[li].set(kt)
+            vt_all = vt_all.at[li].set(vt)
+
+            q2 = q.reshape(1, B * H, Dh)                     # seq-major rows
+            if is_int4:
+                attn = flat_decode_attend_int4(
+                    q2, *flat, row_head, kt, vt, tail_lens,
+                    scale=scale, interpret=interp, q8=q8, layer=li)
+            else:
+                attn = flat_decode_attend(
+                    q2, *flat, row_head, kt, vt, tail_lens,
+                    scale=scale, interpret=interp, layer=li)
+            attn = _lin(attn.reshape(B, H * Dh), lp["wo"])
+            if cfg.post_norms:
+                attn = rms_norm(attn, lp["ln_post_attn"], cfg.rms_norm_eps,
+                                gemma=cfg.gemma_style_norm)
+            x = x + attn
+            h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps,
+                          gemma=cfg.gemma_style_norm)
+            gate, up = _lin_shared(h2, (lp["w_gate"], lp["w_up"]),
+                                   (None, None))
+            mlp = _lin(_act(gate, cfg.hidden_act) * up, lp["w_down"])
+            if cfg.post_norms:
+                mlp = rms_norm(mlp, lp["ln_post_mlp"], cfg.rms_norm_eps,
+                               gemma=cfg.gemma_style_norm)
+            return (x + mlp, kt_all, vt_all), None
+
+        xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        (x, k_tail, v_tail), _ = jax.lax.scan(
+            layer_fn, (x, k_tail, v_tail), xs)
+        xf = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                      gemma=cfg.gemma_style_norm)
+        logits = head_logits(params.get("lm_head", params["embed"]), xf)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_tail, v_tail
+
+    @partial(jax.jit, static_argnames=("max_steps",),
+             donate_argnames=("k_tail", "v_tail"))
+    def run(params, flat, row_head, k_tail, v_tail, tail_lens, seen,
+            first, max_steps: int):
+        tokens0 = jnp.zeros((B, max_steps + 1), jnp.int32)
+        tokens0 = tokens0.at[:, 0].set(first)
+
+        def cond(c):
+            i, done = c[0], c[1]
+            return (~jnp.all(done)) & (i < max_steps)
+
+        def body(c):
+            i, done, tokens, kt, vt, lens, sn = c
+            nxt, kt, vt = step(params, tokens[:, i], sn, lens, kt, vt,
+                               flat, row_head)
+            nxt = jnp.where(done, tokens[:, i], nxt)
+            tokens = tokens.at[:, i + 1].set(nxt)
+            done = done | (jnp.isin(nxt, eos) if stop_on_eos
+                           else jnp.zeros_like(done))
+            lens = lens + jnp.where(
+                jnp.repeat(done, Hkv), 0, 1).astype(lens.dtype)
+            sn = sn + jnp.where(done, 0, 1).astype(sn.dtype)
+            return (i + 1, done, tokens, kt, vt, lens, sn)
+
+        done0 = (jnp.isin(first, eos) if stop_on_eos
+                 else jnp.zeros((B,), jnp.bool_))
+        i, done, tokens, kt, vt, lens, sn = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), done0, tokens0, k_tail, v_tail,
+                         tail_lens, seen))
+        return tokens, i, kt, vt, lens, sn
+
+    tokens, n, kt, vt, lens, sn = run(
+        engine.params, flat_args, m["row_head"], m["k_tail"], m["v_tail"],
+        m["tail_lens"], m["seen"], jnp.asarray(first_tokens, jnp.int32),
+        max_steps)
+
+    # hand each sequence its grown tail back (continuous batching keeps
+    # decoding from it; plain batched_generate restores snapshots anyway)
+    for b, st in enumerate(states):
+        st.cache = dataclasses.replace(
+            st.cache,
+            k_tail=kt[:, b * Hkv:(b + 1) * Hkv],
+            v_tail=vt[:, b * Hkv:(b + 1) * Hkv],
+            tail_len=lens[b * Hkv],
+            seen=sn[b])
+    return _np.asarray(jax.device_get(tokens)), int(jax.device_get(n))
+
+
 _MUT_FIELDS = ("k_tail", "v_tail", "tail_len", "seen")
 
 
@@ -210,19 +397,18 @@ def _decode_segment(engine: Engine, states: Sequence[KVState],
     """
     B = len(states)
     cfg = engine.config
-    batched = stack_caches([st.cache for st in states])
-    tok0 = jnp.asarray(np.asarray(last_tokens, np.int32))
 
     if isinstance(states[0].cache, (FlatKV, FlatInt4KV)):
-        if jax.default_backend() == "cpu":
-            impl = "flash_interpret"
-        elif (engine.attn_quant == "int8"
-              and isinstance(states[0].cache, FlatInt4KV)):
-            impl = "flash_q8"
-        else:
-            impl = "flash"
-    else:
-        impl = "blockwise"
+        # merged-flat path: one kernel + one weight read per step for the
+        # whole batch; no EOS stop (the round loop owns retirement)
+        tokens, _ = _merged_decode(engine, states,
+                                   np.asarray(last_tokens, np.int32),
+                                   n_steps, stop_on_eos=False)
+        return tokens[:, 1:]
+
+    batched = stack_caches([st.cache for st in states])
+    tok0 = jnp.asarray(np.asarray(last_tokens, np.int32))
+    impl = "blockwise"
     step = partial(forward, collect_logits="last", attn_impl=impl)
 
     @partial(jax.jit, static_argnames=("n",), donate_argnames=("cache",))
@@ -278,6 +464,22 @@ def batched_generate(
         st.snapshot()
         logits = engine._forward_chunks(np.asarray(q_ids, np.int32), st, "last")
         firsts.append(jnp.argmax(logits[-1]).astype(jnp.int32))
+
+    if isinstance(states[0].cache, (FlatKV, FlatInt4KV)) and \
+            engine.mesh is None:
+        # merged-flat path (single device): one kernel launch + one weight
+        # read per decode step for the whole batch
+        tokens, n = _merged_decode(
+            engine, states, jnp.stack(firsts), max_new - 1)
+        outs = []
+        for b, st in enumerate(states):
+            seq = tokens[b, :n + 1]
+            stop = np.isin(seq, np.asarray(engine.eos_ids))
+            if stop.any():
+                seq = seq[:int(np.argmax(stop))]
+            outs.append(engine.decode(seq))
+            st.restore_snapshot()
+        return outs
 
     batched = stack_caches([st.cache for st in states])
     first_tok = jnp.stack(firsts)

@@ -29,7 +29,7 @@ from kvzip_tpu.serving import batched_generate  # noqa: E402
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 CTX = 32768
 RATIO = 0.3
-DECODE = 64
+DECODE = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 
 
 def log(m):
