@@ -69,11 +69,12 @@ def _pick_block(R: int, block: int, rows: int) -> int:
 def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
                  o_ref, m_scr, l_scr, acc_scr,
                  *, block: int, n_q: int, g: int, scale: float, dtype):
-    kb = pl.program_id(0)
-    nb = pl.num_programs(0)
-    HT, D = q_ref.shape  # rows = H * n_q, q row r = (head h, query i)
+    sb = pl.program_id(0)          # sequence (merged-batch decode; 1 else)
+    kb = pl.program_id(1)          # key block WITHIN this sequence's rows
+    nb = pl.num_programs(1)
+    HT, D = q_ref.shape  # rows = H * n_q of ONE sequence
     Tcap = kt_ref.shape[1]
-    Hkv = kt_ref.shape[0]
+    Hkv = kt_ref.shape[0]          # kv heads of ONE sequence
 
     @pl.when(kb == 0)
     def _():
@@ -82,9 +83,10 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
         acc_scr[...] = jnp.zeros((HT, D), jnp.float32)
 
     q = q_ref[...]
-    # kv head of each q row: r -> (r // n_q) // g
+    # kv head of each q row: r -> (r // n_q) // g, offset by this
+    # sequence's merged head base (row_head values are global)
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (HT, 1), 0)
-    q_kvhead = (r_ids // n_q) // g  # (HT, 1)
+    q_kvhead = (r_ids // n_q) // g + sb * Hkv  # (HT, 1)
 
     # ---- flat context block (K transposed: (D, BLK) -> NN matmul) ----
     s = jax.lax.dot_general(
@@ -114,7 +116,7 @@ def _flat_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref, vt_ref,
         for hh in range(Hkv):
             # per-head tail length (merged-batch decode: one independent
             # sequence per merged head group)
-            maskt = col_t < meta_ref[1 + hh] + qi + 1
+            maskt = col_t < meta_ref[1 + sb * Hkv + hh] + qi + 1
             sl = slice(hh * rows_h, (hh + 1) * rows_h)
             st = jax.lax.dot_general(
                 q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
@@ -153,8 +155,9 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
     by a rank-1 term) so no wide-type unpack chain runs on the big arrays.
     Measured ~1.5x the bf16 nibble path (VPU-bound); costs ~8-bit rounding
     of attention logits/probs against an already-4-bit KV."""
-    kb = pl.program_id(0)
-    nb = pl.num_programs(0)
+    sb = pl.program_id(0)
+    kb = pl.program_id(1)
+    nb = pl.num_programs(1)
     HT, D = q_ref.shape
     Tcap = kt_ref.shape[1]
     Hkv = kt_ref.shape[0]
@@ -167,7 +170,7 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
 
     q = q_ref[...]
     r_ids = jax.lax.broadcasted_iota(jnp.int32, (HT, 1), 0)
-    q_kvhead = (r_ids // n_q) // g
+    q_kvhead = (r_ids // n_q) // g + sb * Hkv
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # (HT, 1)
 
     # ---- scores: lo-only unpack + packed-byte matmul ----
@@ -261,7 +264,7 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
         col_t = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 1)
         qi = jax.lax.broadcasted_iota(jnp.int32, (rows_h, Tcap), 0) % n_q
         for hh in range(Hkv):
-            maskt = col_t < meta_ref[1 + hh] + qi + 1
+            maskt = col_t < meta_ref[1 + sb * Hkv + hh] + qi + 1
             sl = slice(hh * rows_h, (hh + 1) * rows_h)
             st = jax.lax.dot_general(
                 q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
@@ -282,7 +285,7 @@ def _flat_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block", "interpret", "q8"))
+    jax.jit, static_argnames=("scale", "block", "interpret", "q8", "n_seq"))
 def flat_decode_attend_int4(
     q: jax.Array,          # (T, H, D)
     k_flat_q: jax.Array,   # ([L,] D//2, R_pad) uint8 — TRANSPOSED nibbles
@@ -300,6 +303,7 @@ def flat_decode_attend_int4(
     block: int = 8192,
     interpret: bool = False,
     q8: bool = False,
+    n_seq: int = 1,
     layer: jax.Array = None,  # () int32 — REQUIRED with stacked (L, ...) args
 ) -> jax.Array:
     """Pass the FULL stacked cache arrays plus ``layer`` when calling from a
@@ -309,9 +313,17 @@ def flat_decode_attend_int4(
     the kernel's effective HBM traffic (~190 GB/s observed vs ~396 GB/s for
     the kernel itself — tools/probe_flat_real.py).
 
-    ``q8=True``: int8-attention mode (see :func:`_flat_int4_kernel`)."""
-    T, H, D = q.shape
-    Hkv, Tcap, _ = k_tail.shape
+    ``q8=True``: int8-attention mode (see :func:`_flat_int4_kernel`).
+
+    ``n_seq > 1``: merged-batch decode — the flat rows are n_seq per-
+    sequence segments of equal padded length concatenated seq-major, query
+    heads/tails likewise; the grid adds a sequence axis so each sequence's
+    queries visit ONLY its own key blocks (attention work stays linear in
+    batch instead of quadratic)."""
+    T, H_all, D = q.shape
+    Hkv_all, Tcap, _ = k_tail.shape
+    H = H_all // n_seq
+    Hkv = Hkv_all // n_seq
     G = H // Hkv
     if layer is None:
         k_flat_q, k_flat_s, k_flat_z = (k_flat_q[None], k_flat_s[None],
@@ -320,23 +332,23 @@ def flat_decode_attend_int4(
                                         v_flat_z[None])
         row_head = row_head[None]
         layer = jnp.zeros((), jnp.int32)
-    R = k_flat_q.shape[2]
+    R = k_flat_q.shape[2] // n_seq      # rows per sequence segment
     BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
-    q2 = q.transpose(1, 0, 2).reshape(H * T, D)
+    q2 = q.transpose(1, 0, 2).reshape(H_all * T, D)
     tl = tail_len.astype(jnp.int32)
-    tl = jnp.broadcast_to(tl, (Hkv,)) if tl.ndim == 0 else tl
+    tl = jnp.broadcast_to(tl, (Hkv_all,)) if tl.ndim == 0 else tl
     meta = jnp.concatenate([layer.astype(jnp.int32)[None], tl])
 
-    def blk1(kb, m):
-        return (m[0], 0, kb)
+    def blk1(sb, kb, m):
+        return (m[0], 0, sb * nb + kb)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(n_seq, nb),
         in_specs=[
-            pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+            pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
             pl.BlockSpec((1, 1, BLK), blk1),
             pl.BlockSpec((1, D // 2, BLK), blk1),
             pl.BlockSpec((1, 1, BLK), blk1),
@@ -344,10 +356,10 @@ def flat_decode_attend_int4(
             pl.BlockSpec((1, D // 2, BLK), blk1),
             pl.BlockSpec((1, 1, BLK), blk1),
             pl.BlockSpec((1, 1, BLK), blk1),
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+        out_specs=pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
         scratch_shapes=[
             pltpu.VMEM((H * T, 1), jnp.float32),
             pltpu.VMEM((H * T, 1), jnp.float32),
@@ -361,9 +373,9 @@ def flat_decode_attend_int4(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H * T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H_all * T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             # 32k-row key blocks overflow the default 16 MB scoped-vmem
             # budget by <1 MB; v5e has 128 MB of VMEM
             vmem_limit_bytes=100 * 2 ** 20),
@@ -374,11 +386,11 @@ def flat_decode_attend_int4(
       v_flat_q, v_flat_s.astype(jnp.float32)[:, None],
       v_flat_z.astype(jnp.float32)[:, None], k_tail, v_tail)
 
-    return out.reshape(H, T, D).transpose(1, 0, 2)
+    return out.reshape(H_all, T, D).transpose(1, 0, 2)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block", "interpret"))
+    jax.jit, static_argnames=("scale", "block", "interpret", "n_seq"))
 def flat_decode_attend(
     q: jax.Array,          # (T, H, D), T <= ~64
     k_flat: jax.Array,     # ([L,] D, R_pad) — TRANSPOSED
@@ -391,38 +403,45 @@ def flat_decode_attend(
     scale: float,
     block: int = 8192,
     interpret: bool = False,
+    n_seq: int = 1,
     layer: jax.Array = None,  # () int32 — REQUIRED with stacked (L, ...) args
 ) -> jax.Array:
     """See :func:`flat_decode_attend_int4` for the stacked-``layer`` calling
-    convention (avoids the per-layer dynamic-slice copy under scan)."""
-    T, H, D = q.shape
-    Hkv, Tcap, _ = k_tail.shape
+    convention (avoids the per-layer dynamic-slice copy under scan) and the
+    ``n_seq`` merged-batch convention."""
+    T, H_all, D = q.shape
+    Hkv_all, Tcap, _ = k_tail.shape
+    H = H_all // n_seq
+    Hkv = Hkv_all // n_seq
     G = H // Hkv
     if layer is None:
         k_flat, v_flat, row_head = k_flat[None], v_flat[None], row_head[None]
         layer = jnp.zeros((), jnp.int32)
-    R = k_flat.shape[2]
+    R = k_flat.shape[2] // n_seq
     BLK = _pick_block(R, block, H * T)
     nb = R // BLK
 
-    # q rows ordered head-major: r = h * T + i
-    q2 = q.transpose(1, 0, 2).reshape(H * T, D)
+    # q rows ordered head-major: r = h * T + i (seq-major first if merged)
+    q2 = q.transpose(1, 0, 2).reshape(H_all * T, D)
     tl = tail_len.astype(jnp.int32)
-    tl = jnp.broadcast_to(tl, (Hkv,)) if tl.ndim == 0 else tl
+    tl = jnp.broadcast_to(tl, (Hkv_all,)) if tl.ndim == 0 else tl
     meta = jnp.concatenate([layer.astype(jnp.int32)[None], tl])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(n_seq, nb),
         in_specs=[
-            pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
-            pl.BlockSpec((1, 1, BLK), lambda kb, m: (m[0], 0, kb)),
-            pl.BlockSpec((1, D, BLK), lambda kb, m: (m[0], 0, kb)),
-            pl.BlockSpec((1, BLK, D), lambda kb, m: (m[0], kb, 0)),
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+            pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
+            pl.BlockSpec((1, 1, BLK), lambda sb, kb, m: (m[0], 0,
+                                                         sb * nb + kb)),
+            pl.BlockSpec((1, D, BLK), lambda sb, kb, m: (m[0], 0,
+                                                         sb * nb + kb)),
+            pl.BlockSpec((1, BLK, D), lambda sb, kb, m: (m[0],
+                                                         sb * nb + kb, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
+            pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((H * T, D), lambda kb, m: (0, 0)),
+        out_specs=pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
         scratch_shapes=[
             pltpu.VMEM((H * T, 1), jnp.float32),
             pltpu.VMEM((H * T, 1), jnp.float32),
@@ -435,12 +454,12 @@ def flat_decode_attend(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H * T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((H_all * T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 2 ** 20),
         interpret=interpret,
     )(meta, q2, row_head.astype(jnp.int32)[:, None], k_flat, v_flat,
       k_tail, v_tail)
 
-    return out.reshape(H, T, D).transpose(1, 0, 2)
+    return out.reshape(H_all, T, D).transpose(1, 0, 2)

@@ -193,9 +193,15 @@ class Scheduler:
 # per-sequence tail lengths a (B * H_kv,) vector.
 
 def _merge_flat(caches: Sequence) -> dict:
-    """Concatenate flat caches into one merged flat view."""
+    """Concatenate flat caches into one merged flat view.
+
+    Each cache is first padded to the max r_pad so every sequence segment
+    has EQUAL length — the kernels' sequence grid axis indexes segments as
+    sb * (R/n_seq) + kb."""
     is_int4 = isinstance(caches[0], FlatInt4KV)
     B = len(caches)
+    cap = max(c.capacity for c in caches)
+    caches = [_pad_capacity(c, cap) for c in caches]
     Hkv = caches[0].k_tail.shape[1]
     row_head = jnp.concatenate(
         [jnp.where(c.row_head >= 0, c.row_head + b * Hkv, -1)
@@ -293,11 +299,12 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
             if is_int4:
                 attn = flat_decode_attend_int4(
                     q2, *flat, row_head, kt, vt, tail_lens,
-                    scale=scale, interpret=interp, q8=q8, layer=li)
+                    scale=scale, interpret=interp, q8=q8, n_seq=B,
+                    layer=li)
             else:
                 attn = flat_decode_attend(
                     q2, *flat, row_head, kt, vt, tail_lens,
-                    scale=scale, interpret=interp, layer=li)
+                    scale=scale, interpret=interp, n_seq=B, layer=li)
             attn = _lin(attn.reshape(B, H * Dh), lp["wo"])
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["ln_post_attn"], cfg.rms_norm_eps,
