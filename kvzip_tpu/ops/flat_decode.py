@@ -333,10 +333,18 @@ def flat_decode_attend_int4(
         row_head = row_head[None]
         layer = jnp.zeros((), jnp.int32)
     R = k_flat_q.shape[2] // n_seq      # rows per sequence segment
-    BLK = _pick_block(R, block, H * T)
+    # per-seq row blocks must satisfy Mosaic's 8-row rule once n_seq > 1
+    # (a block equal to the whole array is exempt); pad rows attend to
+    # nothing (their q_kvhead exceeds every row_head in their segment)
+    HT = H * T
+    HTp = -(-HT // 8) * 8 if n_seq > 1 else HT
+    BLK = _pick_block(R, block, HTp)
     nb = R // BLK
 
-    q2 = q.transpose(1, 0, 2).reshape(H_all * T, D)
+    q2 = q.transpose(1, 0, 2).reshape(n_seq, HT, D)
+    if HTp != HT:
+        q2 = jnp.pad(q2, ((0, 0), (0, HTp - HT), (0, 0)))
+    q2 = q2.reshape(n_seq * HTp, D)
     tl = tail_len.astype(jnp.int32)
     tl = jnp.broadcast_to(tl, (Hkv_all,)) if tl.ndim == 0 else tl
     meta = jnp.concatenate([layer.astype(jnp.int32)[None], tl])
@@ -348,7 +356,7 @@ def flat_decode_attend_int4(
         num_scalar_prefetch=1,
         grid=(n_seq, nb),
         in_specs=[
-            pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
+            pl.BlockSpec((HTp, D), lambda sb, kb, m: (sb, 0)),
             pl.BlockSpec((1, 1, BLK), blk1),
             pl.BlockSpec((1, D // 2, BLK), blk1),
             pl.BlockSpec((1, 1, BLK), blk1),
@@ -359,11 +367,11 @@ def flat_decode_attend_int4(
             pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
+        out_specs=pl.BlockSpec((HTp, D), lambda sb, kb, m: (sb, 0)),
         scratch_shapes=[
-            pltpu.VMEM((H * T, 1), jnp.float32),
-            pltpu.VMEM((H * T, 1), jnp.float32),
-            pltpu.VMEM((H * T, D), jnp.float32),
+            pltpu.VMEM((HTp, 1), jnp.float32),
+            pltpu.VMEM((HTp, 1), jnp.float32),
+            pltpu.VMEM((HTp, D), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -373,7 +381,7 @@ def flat_decode_attend_int4(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H_all * T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_seq * HTp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # 32k-row key blocks overflow the default 16 MB scoped-vmem
@@ -386,6 +394,7 @@ def flat_decode_attend_int4(
       v_flat_q, v_flat_s.astype(jnp.float32)[:, None],
       v_flat_z.astype(jnp.float32)[:, None], k_tail, v_tail)
 
+    out = out.reshape(n_seq, HTp, D)[:, :HT]
     return out.reshape(H_all, T, D).transpose(1, 0, 2)
 
 
@@ -418,11 +427,16 @@ def flat_decode_attend(
         k_flat, v_flat, row_head = k_flat[None], v_flat[None], row_head[None]
         layer = jnp.zeros((), jnp.int32)
     R = k_flat.shape[2] // n_seq
-    BLK = _pick_block(R, block, H * T)
+    HT = H * T
+    HTp = -(-HT // 8) * 8 if n_seq > 1 else HT
+    BLK = _pick_block(R, block, HTp)
     nb = R // BLK
 
     # q rows ordered head-major: r = h * T + i (seq-major first if merged)
-    q2 = q.transpose(1, 0, 2).reshape(H_all * T, D)
+    q2 = q.transpose(1, 0, 2).reshape(n_seq, HT, D)
+    if HTp != HT:
+        q2 = jnp.pad(q2, ((0, 0), (0, HTp - HT), (0, 0)))
+    q2 = q2.reshape(n_seq * HTp, D)
     tl = tail_len.astype(jnp.int32)
     tl = jnp.broadcast_to(tl, (Hkv_all,)) if tl.ndim == 0 else tl
     meta = jnp.concatenate([layer.astype(jnp.int32)[None], tl])
@@ -431,7 +445,7 @@ def flat_decode_attend(
         num_scalar_prefetch=1,
         grid=(n_seq, nb),
         in_specs=[
-            pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
+            pl.BlockSpec((HTp, D), lambda sb, kb, m: (sb, 0)),
             pl.BlockSpec((1, 1, BLK), lambda sb, kb, m: (m[0], 0,
                                                          sb * nb + kb)),
             pl.BlockSpec((1, D, BLK), lambda sb, kb, m: (m[0], 0,
@@ -441,11 +455,11 @@ def flat_decode_attend(
             pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
             pl.BlockSpec((Hkv, Tcap, D), lambda sb, kb, m: (sb, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((H * T, D), lambda sb, kb, m: (sb, 0)),
+        out_specs=pl.BlockSpec((HTp, D), lambda sb, kb, m: (sb, 0)),
         scratch_shapes=[
-            pltpu.VMEM((H * T, 1), jnp.float32),
-            pltpu.VMEM((H * T, 1), jnp.float32),
-            pltpu.VMEM((H * T, D), jnp.float32),
+            pltpu.VMEM((HTp, 1), jnp.float32),
+            pltpu.VMEM((HTp, 1), jnp.float32),
+            pltpu.VMEM((HTp, D), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -454,7 +468,7 @@ def flat_decode_attend(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((H_all * T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_seq * HTp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 2 ** 20),
@@ -462,4 +476,5 @@ def flat_decode_attend(
     )(meta, q2, row_head.astype(jnp.int32)[:, None], k_flat, v_flat,
       k_tail, v_tail)
 
+    out = out.reshape(n_seq, HTp, D)[:, :HT]
     return out.reshape(H_all, T, D).transpose(1, 0, 2)
