@@ -228,8 +228,13 @@ def _merge_flat(caches: Sequence) -> dict:
 
 def _merged_decode(engine: Engine, states: Sequence[KVState],
                    first_tokens, max_steps: int,
-                   stop_on_eos: bool = True):
+                   stop_on_eos: bool = True, queries=None):
     """Greedy-decode ``max_steps`` tokens for B merged flat sequences.
+
+    ``queries``: optional per-sequence query token id arrays — ingested
+    BATCHED through the same merged layer stack (one padded multi-token
+    pass instead of B serial single-sequence forwards), producing the
+    first tokens; ``first_tokens`` is ignored then.
 
     Returns (tokens (B, max_steps + 1) incl. the first token, n_steps done,
     per-state grown tails applied back to ``states``). One jitted while
@@ -263,11 +268,17 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
     else:
         flat_args = (m["k_flat"], m["v_flat"])
 
-    def step(params, toks, seen, tail_lens, k_tail, v_tail, flat, row_head):
-        x = embed_lookup(params["embed"], toks)              # (B, Dm)
+    def stack_fwd(params, toks, seen, tail_lens, k_tail, v_tail, flat,
+                  row_head, T):
+        """Layer stack over T tokens per sequence (T=1: decode step;
+        T>1: merged query ingestion). toks (B, T); returns final hidden
+        states (B, T, Dm) + grown tails."""
+        BT = B * T
+        x = embed_lookup(params["embed"], toks.reshape(BT))  # (BT, Dm)
         if cfg.gemma_style_norm:
             x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
-        cos, sin = rope_cos_sin(cfg.rope, Dh, seen)
+        pos = (seen[:, None] + jnp.arange(T, dtype=jnp.int32)).reshape(BT)
+        cos, sin = rope_cos_sin(cfg.rope, Dh, pos)
 
         def layer_fn(carry, xs):
             x, kt_all, vt_all = carry
@@ -277,9 +288,9 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
             q, k, v = _lin_shared(
                 h, (lp["wq"], lp["wk"], lp["wv"]),
                 (lp.get("bq"), lp.get("bk"), lp.get("bv")))
-            q = q.reshape(B, H, Dh)
-            k = k.reshape(B, Hkv, Dh)
-            v = v.reshape(B, Hkv, Dh)
+            q = q.reshape(BT, H, Dh)
+            k = k.reshape(BT, Hkv, Dh)
+            v = v.reshape(BT, Hkv, Dh)
             if cfg.qk_norm:
                 q = _head_norm(q, lp["q_norm"], cfg.rms_norm_eps,
                                cfg.gemma_style_norm)
@@ -289,13 +300,17 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
             k = apply_rope(k, cos, sin)
 
             # tail append at per-head offsets (seq-major merged heads)
+            k_rows = k.reshape(B, T, Hkv, Dh).transpose(1, 0, 2, 3)
+            v_rows = v.reshape(B, T, Hkv, Dh).transpose(1, 0, 2, 3)
             kt, vt = append_layer(kt_all[li], vt_all[li], tail_lens,
-                                  k.reshape(1, B * Hkv, Dh),
-                                  v.reshape(1, B * Hkv, Dh))
+                                  k_rows.reshape(T, B * Hkv, Dh),
+                                  v_rows.reshape(T, B * Hkv, Dh))
             kt_all = kt_all.at[li].set(kt)
             vt_all = vt_all.at[li].set(vt)
 
-            q2 = q.reshape(1, B * H, Dh)                     # seq-major rows
+            # kernel rows: (T, B*H) seq-major head axis
+            q2 = (q.reshape(B, T, H, Dh).transpose(1, 0, 2, 3)
+                  .reshape(T, B * H, Dh))
             if is_int4:
                 attn = flat_decode_attend_int4(
                     q2, *flat, row_head, kt, vt, tail_lens,
@@ -305,7 +320,9 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
                 attn = flat_decode_attend(
                     q2, *flat, row_head, kt, vt, tail_lens,
                     scale=scale, interpret=interp, n_seq=B, layer=li)
-            attn = _lin(attn.reshape(B, H * Dh), lp["wo"])
+            attn = (attn.reshape(T, B, H, Dh).transpose(1, 0, 2, 3)
+                    .reshape(BT, H * Dh))
+            attn = _lin(attn, lp["wo"])
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["ln_post_attn"], cfg.rms_norm_eps,
                                 gemma=cfg.gemma_style_norm)
@@ -323,7 +340,12 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
         xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
         (x, k_tail, v_tail), _ = jax.lax.scan(
             layer_fn, (x, k_tail, v_tail), xs)
-        xf = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+        return x.reshape(B, T, -1), k_tail, v_tail
+
+    def step(params, toks, seen, tail_lens, k_tail, v_tail, flat, row_head):
+        x, k_tail, v_tail = stack_fwd(params, toks[:, None], seen, tail_lens,
+                                      k_tail, v_tail, flat, row_head, 1)
+        xf = rms_norm(x[:, 0], params["final_norm"], cfg.rms_norm_eps,
                       gemma=cfg.gemma_style_norm)
         logits = head_logits(params.get("lm_head", params["embed"]), xf)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), k_tail, v_tail
@@ -359,9 +381,44 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
                          tail_lens, seen))
         return tokens, i, kt, vt, lens, sn
 
+    @partial(jax.jit, static_argnames=("T",),
+             donate_argnames=("k_tail", "v_tail"))
+    def ingest(params, flat, row_head, k_tail, v_tail, tail_lens, seen,
+               toks, true_lens, T: int):
+        x, kt, vt = stack_fwd(params, toks, seen, tail_lens, k_tail, v_tail,
+                              flat, row_head, T)
+        idx = (true_lens - 1)[:, None, None]
+        xl = jnp.take_along_axis(
+            x, jnp.broadcast_to(idx, (B, 1, x.shape[-1])), axis=1)[:, 0]
+        xf = rms_norm(xl, params["final_norm"], cfg.rms_norm_eps,
+                      gemma=cfg.gemma_style_norm)
+        logits = head_logits(params.get("lm_head", params["embed"]), xf)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lens2 = tail_lens + jnp.repeat(true_lens, Hkv)
+        return first, kt, vt, lens2, seen + true_lens
+
+    kt0, vt0 = m["k_tail"], m["v_tail"]
+    lens0, seen0 = m["tail_lens"], m["seen"]
+    if queries is not None:
+        import numpy as np
+        true_lens = np.asarray([len(qq) for qq in queries], np.int32)
+        Tq = -(-int(true_lens.max()) // 8) * 8   # bucket: fewer recompiles
+        Tcap = kt0.shape[2]
+        base = int(jax.device_get(lens0).max())
+        if base + Tq + max_steps + 1 > Tcap:
+            raise ValueError(
+                f"merged ingest needs {base + Tq + max_steps + 1} tail rows"
+                f" > capacity {Tcap}; raise decode_budget")
+        toks = np.zeros((B, Tq), np.int32)
+        for b, qq in enumerate(queries):
+            toks[b, :len(qq)] = np.asarray(qq, np.int32)
+        first_tokens, kt0, vt0, lens0, seen0 = ingest(
+            engine.params, flat_args, m["row_head"], kt0, vt0, lens0, seen0,
+            jnp.asarray(toks), jnp.asarray(true_lens), Tq)
+
     tokens, n, kt, vt, lens, sn = run(
-        engine.params, flat_args, m["row_head"], m["k_tail"], m["v_tail"],
-        m["tail_lens"], m["seen"], jnp.asarray(first_tokens, jnp.int32),
+        engine.params, flat_args, m["row_head"], kt0, vt0,
+        lens0, seen0, jnp.asarray(first_tokens, jnp.int32),
         max_steps)
 
     # hand each sequence its grown tail back (continuous batching keeps
@@ -465,19 +522,16 @@ def batched_generate(
     cfg = engine.config
     eos = jnp.asarray(engine.eos_ids, jnp.int32)
 
-    # per-sequence query ingestion (distinct lengths), collect first tokens
-    firsts = []
-    for q_ids, st in zip(queries, states):
-        st.snapshot()
-        logits = engine._forward_chunks(np.asarray(q_ids, np.int32), st, "last")
-        firsts.append(jnp.argmax(logits[-1]).astype(jnp.int32))
-
     if isinstance(states[0].cache, (FlatKV, FlatInt4KV)) and \
             engine.mesh is None:
-        # merged-flat path (single device): one kernel launch + one weight
-        # read per decode step for the whole batch
+        # merged-flat path (single device): queries ingest BATCHED through
+        # the merged stack, then one kernel launch + one weight read per
+        # decode step for the whole batch
+        for st in states:
+            st.snapshot()
         tokens, n = _merged_decode(
-            engine, states, jnp.stack(firsts), max_new - 1)
+            engine, states, None, max_new - 1,
+            queries=[np.asarray(q, np.int32) for q in queries])
         outs = []
         for b, st in enumerate(states):
             seq = tokens[b, :n + 1]
@@ -487,6 +541,13 @@ def batched_generate(
             outs.append(engine.decode(seq))
             st.restore_snapshot()
         return outs
+
+    # per-sequence query ingestion (distinct lengths), collect first tokens
+    firsts = []
+    for q_ids, st in zip(queries, states):
+        st.snapshot()
+        logits = engine._forward_chunks(np.asarray(q_ids, np.int32), st, "last")
+        firsts.append(jnp.argmax(logits[-1]).astype(jnp.int32))
 
     batched = stack_caches([st.cache for st in states])
     first_tok = jnp.stack(firsts)
