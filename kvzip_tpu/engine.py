@@ -326,6 +326,20 @@ class Engine:
         state.cache = refold_flat(cache, _round_flat_rows(rows))
         state.snapshot()
 
+    @staticmethod
+    def _sync(state: KVState) -> None:
+        """Drain the dispatch queue with a scalar fetch (~50 ms roundtrip).
+
+        Queueing many async chunk dispatches (each donating a multi-GB cache
+        pytree) wedges the axon tunnel: two bare 480k demo runs sat at ~0%
+        host CPU for 30+ min after 'Before Prefill', while the identical
+        per-chunk-synced loop (tools/probe_480k_prefill.py) runs every chunk
+        in 3-48 s. device_get, not block_until_ready — the latter does not
+        sync through the tunnel (NOTES 'probe discipline')."""
+        seen = getattr(state.cache, "seen", None)
+        if seen is not None:
+            np.asarray(jax.device_get(seen))
+
     def _forward_chunks(self, ids: np.ndarray, state: KVState,
                         collect: str = "none") -> Optional[np.ndarray]:
         """Run ids through the model on the chunk ladder; maybe return logits."""
@@ -398,6 +412,7 @@ class Engine:
             n = min(prefill_chunk_size, prefill_len - pos)
             self._forward_chunks(prefill_ids[pos:pos + n], state)
             pos += n
+            self._sync(state)
 
         state.snapshot()
         if do_score:
@@ -475,6 +490,7 @@ class Engine:
                                   jnp.asarray(len(a_ids), jnp.int32))
             start += len(a_ids)
             state.restore_snapshot()
+            self._sync(state)
 
         assert start - state.sink == state.ctx_len
         state.score = score[:, :, :state.ctx_len]
