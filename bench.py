@@ -21,59 +21,9 @@ def log(msg):
 
 
 def _full_flat_state(eng, state, flat_int4: bool, tail_cap: int):
-    """Full-occupancy flat cache with the exact shapes/row counts that
-    flatten_full(state) would produce — the honest full-cache baseline.
-
-    Built after prune (the dense cache no longer exists, so the full view
-    could not be gathered from it) AND after the evicted flat cache has been
-    freed (full-flat + evicted + weights exceed 16 GB at 320k); decode time
-    depends only on live row counts and layout, not values.
-    """
-    import dataclasses
-
-    import jax.numpy as jnp
-
-    from kvzip_tpu.cache import FlatInt4KV, FlatKV
-    from kvzip_tpu.engine import KVState, _round_flat_rows
-
-    cfg = eng.config
-    L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
-    per_head = state.ctx_len + state.sink
-    r_pad = _round_flat_rows(H * per_head)
-    key = __import__("jax").random.PRNGKey(7)
-    rh = np.full((r_pad,), -1, np.int32)
-    rh[:H * per_head] = np.repeat(np.arange(H, dtype=np.int32), per_head)
-    row_head = jnp.asarray(np.broadcast_to(rh, (L, r_pad)))
-    common = dict(
-        row_head=row_head,
-        lengths=jnp.full((L, H), per_head, jnp.int32),
-        tail_len=jnp.zeros((), jnp.int32),
-        seen=jnp.asarray(per_head, jnp.int32),
-    )
-    # constant fill: decode TIME is value-independent (no data-dependent
-    # branches on TPU), and jax.random.randint/normal materialize an
-    # int32/f32 intermediate of the full shape — 17 GB at 288k (OOM)
-    if flat_int4:
-        cache = FlatInt4KV(
-            k_flat_q=jnp.full((L, D // 2, r_pad), 0x5A, jnp.uint8),
-            v_flat_q=jnp.full((L, D // 2, r_pad), 0xA5, jnp.uint8),
-            k_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
-            k_flat_z=jnp.full((L, r_pad), -0.05, jnp.float32),
-            v_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
-            v_flat_z=jnp.full((L, r_pad), -0.05, jnp.float32),
-            k_tail=jnp.zeros((L, H, tail_cap, D), eng.dtype),
-            v_tail=jnp.zeros((L, H, tail_cap, D), eng.dtype),
-            **common)
-    else:
-        cache = FlatKV(
-            k_flat=jnp.full((L, D, r_pad), 0.02, eng.dtype),
-            v_flat=jnp.full((L, r_pad, D), 0.03, eng.dtype),
-            k_tail=jnp.zeros((L, H, tail_cap, D), eng.dtype),
-            v_tail=jnp.zeros((L, H, tail_cap, D), eng.dtype),
-            **common)
-    st = dataclasses.replace(state, cache=cache)
-    st.snapshot()
-    return st
+    """Full-occupancy flat baseline (moved into the library so `cli demo`
+    shares it; see Engine.synthetic_full_flat_state)."""
+    return eng.synthetic_full_flat_state(state, flat_int4, tail_cap)
 
 
 def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,

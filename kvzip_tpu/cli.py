@@ -62,6 +62,16 @@ def build_parser():
     sp_demo.add_argument("--decode_tokens", type=int, default=64,
                          help="fixed decode length for ms/token timing")
     sp_demo.add_argument("--prefill_chunk", type=int, default=16384)
+    sp_demo.add_argument("--head_score_dir", type=str, default="./head_score",
+                         help="directory with precomputed (L,H) head-score "
+                              "assets for -m kvzip_head (reference "
+                              "`utils/head_score/*.pt` layout)")
+    sp_demo.add_argument("--baseline", action="store_true",
+                         help="after the compressed-cache QA, measure an "
+                              "honest full-cache decode baseline through the "
+                              "same flat layout/kernels (frees the evicted "
+                              "cache first) and print the demo.png-style "
+                              "GB / ms-per-token comparison")
     sp_demo.add_argument("-m", "--mode", default="kvzip",
                          choices=["kvzip", "kvzip_head", "no", "full"])
     sp_demo.add_argument("--model", type=str, default="llama3.2-3b")
@@ -161,9 +171,25 @@ def cmd_eval(args):
 
 
 def cmd_demo(args):
+    import os
+
+    import jax
+
     from kvzip_tpu.engine import Engine
     from kvzip_tpu.utils import TimeStamp
     from kvzip_tpu.data.needle import synthetic_haystack
+
+    # persistent compilation cache: repeated demo runs skip recompiles
+    try:
+        cache_dir = os.environ.get(
+            "JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     stamp = TimeStamp(verbose=True, unit="ms")
     engine = Engine(args.model,
@@ -205,8 +231,10 @@ def cmd_demo(args):
     state = engine.prefill(
         context, prefill_chunk_size=getattr(args, "prefill_chunk", 16384),
         load_score=(args.mode == "kvzip_head"),
-        do_score=(args.mode in ("kvzip", "kvzip_head")))
-    stamp(f"KV cache size: {state.mem_gb()} GB (live {state.used_gb()} GB). "
+        do_score=(args.mode in ("kvzip", "kvzip_head")),
+        head_score_dirs=(getattr(args, "head_score_dir", "./head_score"),))
+    full_gb = state.used_gb()
+    stamp(f"KV cache size: {state.mem_gb()} GB (live {full_gb} GB). "
           "After Prefill")
     if args.mode in ("kvzip", "kvzip_head"):
         ratio = 0.3 if args.mode == "kvzip" else 0.6
@@ -223,6 +251,49 @@ def cmd_demo(args):
         n = len(q_ids) + len(engine.encode(output)) + 1
         stamp("After Generation", denominator=n)
         print("-" * 100)
+
+    # ----- honest ms/token: fixed decode length, eos disabled, warm+timed
+    def _timed_ms_tok(st, tag):
+        import time as _time
+        q_ids = engine.apply_template("Summarize the context.")
+        eos_save, engine.eos_ids = engine.eos_ids, (-1,)
+        try:
+            engine.generate(q_ids, st, max_new_tokens=args.decode_tokens)
+            t0 = _time.time()
+            engine.generate(q_ids, st, max_new_tokens=args.decode_tokens)
+            ms = 1000.0 * (_time.time() - t0) / args.decode_tokens
+        finally:
+            engine.eos_ids = eos_save
+        print(f"decode[{tag}]: {ms:.2f} ms/token", flush=True)
+        return ms
+
+    if getattr(args, "baseline", False) and args.mode in ("kvzip",
+                                                          "kvzip_head"):
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV
+
+        pruned_gb = state.used_gb()
+        ms_pruned = _timed_ms_tok(state, f"{args.mode}@{ratio}")
+        # free the evicted cache first: full-flat + evicted + weights exceed
+        # 16 GB at long contexts (bench.py does the same)
+        is_flat = isinstance(state.cache, (FlatKV, FlatInt4KV))
+        flat_int4 = isinstance(state.cache, FlatInt4KV)
+        tail_cap = (state.cache.k_tail.shape[2] if is_flat
+                    else engine.decode_budget)
+        import gc
+        state.cache = None
+        state._snap = None
+        gc.collect()
+        state_full = engine.synthetic_full_flat_state(state, flat_int4,
+                                                      tail_cap)
+        ms_full = _timed_ms_tok(state_full, "full-cache")
+        print("=" * 100)
+        print(f"Full KV cache:   {full_gb:6.2f} GB, {ms_full:6.2f} ms/token")
+        print(f"KVzip ({args.mode}@{ratio}): {pruned_gb:6.2f} GB, "
+              f"{ms_pruned:6.2f} ms/token")
+        print(f"-> {full_gb / max(pruned_gb, 1e-9):.2f}x KV reduction, "
+              f"{ms_full / max(ms_pruned, 1e-9):.2f}x decode speedup "
+              f"(reference demo.png: 27.5->8.2 GB, 49.0->24.1 ms/token)",
+              flush=True)
 
 
 def parse_answer_supplement(name: str):

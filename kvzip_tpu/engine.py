@@ -616,6 +616,56 @@ class Engine:
         new_state.snapshot()
         return new_state
 
+    def synthetic_full_flat_state(self, state: KVState, flat_int4: bool,
+                                  tail_cap: int) -> KVState:
+        """Full-occupancy flat cache with the exact shapes/row counts that
+        ``flatten_full(state)`` would produce — the honest full-cache decode
+        baseline when the dense cache no longer exists (prune donates it).
+
+        Decode TIME is value-independent on TPU (no data-dependent branches),
+        so constant fill is sufficient — and necessary: jax.random
+        materializes an int32/f32 intermediate of the full shape (17 GB at
+        288k, OOM). Used by bench.py and ``cli demo`` after the evicted
+        cache has been freed (full-flat + evicted + weights exceed 16 GB at
+        long contexts).
+        """
+        from kvzip_tpu.cache import FlatInt4KV, FlatKV
+
+        cfg = self.config
+        L, H, D = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        per_head = state.ctx_len + state.sink
+        r_pad = _round_flat_rows(H * per_head)
+        rh = np.full((r_pad,), -1, np.int32)
+        rh[:H * per_head] = np.repeat(np.arange(H, dtype=np.int32), per_head)
+        row_head = jnp.asarray(np.broadcast_to(rh, (L, r_pad)))
+        common = dict(
+            row_head=row_head,
+            lengths=jnp.full((L, H), per_head, jnp.int32),
+            tail_len=jnp.zeros((), jnp.int32),
+            seen=jnp.asarray(per_head, jnp.int32),
+        )
+        if flat_int4:
+            cache = FlatInt4KV(
+                k_flat_q=jnp.full((L, D // 2, r_pad), 0x5A, jnp.uint8),
+                v_flat_q=jnp.full((L, D // 2, r_pad), 0xA5, jnp.uint8),
+                k_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
+                k_flat_z=jnp.full((L, r_pad), -0.05, jnp.float32),
+                v_flat_s=jnp.full((L, r_pad), 0.01, jnp.float32),
+                v_flat_z=jnp.full((L, r_pad), -0.05, jnp.float32),
+                k_tail=jnp.zeros((L, H, tail_cap, D), self.dtype),
+                v_tail=jnp.zeros((L, H, tail_cap, D), self.dtype),
+                **common)
+        else:
+            cache = FlatKV(
+                k_flat=jnp.full((L, D, r_pad), 0.02, self.dtype),
+                v_flat=jnp.full((L, r_pad, D), 0.03, self.dtype),
+                k_tail=jnp.zeros((L, H, tail_cap, D), self.dtype),
+                v_tail=jnp.zeros((L, H, tail_cap, D), self.dtype),
+                **common)
+        st = dataclasses.replace(state, cache=cache, pruned=True)
+        st.snapshot()
+        return st
+
     # -------------------------------------------------------------- generate
     def _decode_loop(self, max_steps: int, capacity: int, impl: str):
         key = (max_steps, capacity, impl)
