@@ -284,11 +284,25 @@ def _init_params_quantized(cfg: ModelConfig, key: jax.Array, dtype,
         "w_down": (L, I, D),
     }
     lp = {}
+    # chunk the random init along layers: a whole (L, D, I) f32 stack is
+    # 7.6 GB at 7B — materializing it before quantization OOMs a 16 GB chip
+    # once other stacks are resident (measured at the 480k w4a8 demo). Each
+    # chunk's f32/bf16 temps die (block_until_ready) before the next starts.
+    CH = 4
     for i, name in enumerate(shapes):
-        lp[name] = jax.jit(
-            lambda k, s=shapes[name]: quant_fn(
-                (jax.random.normal(k, s, jnp.float32) * 0.02).astype(dtype))
-        )(jax.random.fold_in(key, i))
+        s = shapes[name]
+        parts = []
+        for j0 in range(0, L, CH):
+            n = min(CH, L - j0)
+            part = jax.jit(
+                lambda k, sub=(n,) + s[1:]: quant_fn(
+                    (jax.random.normal(k, sub, jnp.float32) * 0.02)
+                    .astype(dtype))
+            )(jax.random.fold_in(key, i * 1009 + j0))
+            jax.block_until_ready(jax.tree.leaves(part)[0])
+            parts.append(part)
+        lp[name] = (parts[0] if len(parts) == 1 else jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts))
         jax.block_until_ready(jax.tree.leaves(lp[name])[0])
     lp["ln_attn"] = jnp.ones((L, D), dtype)
     lp["ln_mlp"] = jnp.ones((L, D), dtype)
