@@ -188,8 +188,10 @@ def cmd_demo(args):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - depends on jax version
+        import sys as _sys
+        print(f"warning: persistent jit cache disabled ({e})",
+              file=_sys.stderr)
 
     stamp = TimeStamp(verbose=True, unit="ms")
     engine = Engine(args.model,
@@ -286,8 +288,13 @@ def cmd_demo(args):
         state_full = engine.synthetic_full_flat_state(state, flat_int4,
                                                       tail_cap)
         ms_full = _timed_ms_tok(state_full, "full-cache")
+        # report the GB of the layout actually timed (flat, incl. row
+        # padding) so the GB and ms/token columns describe the same cache
+        # (ADVICE r2); the dense post-prefill live GB is in the stamp above
+        full_flat_gb = state_full.used_gb()
         print("=" * 100)
-        print(f"Full KV cache:   {full_gb:6.2f} GB, {ms_full:6.2f} ms/token")
+        print(f"Full KV cache:   {full_flat_gb:6.2f} GB ({full_gb:.2f} GB "
+              f"dense post-prefill), {ms_full:6.2f} ms/token")
         print(f"KVzip ({args.mode}@{ratio}): {pruned_gb:6.2f} GB, "
               f"{ms_pruned:6.2f} ms/token")
         print(f"-> {full_gb / max(pruned_gb, 1e-9):.2f}x KV reduction, "

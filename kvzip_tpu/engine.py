@@ -160,55 +160,11 @@ class Engine:
         self.weight_quant = weight_quant
         self.flat_decode = flat_decode
         self.attn_quant = attn_quant
-        if params is None:
-            import glob as _glob
-            import os as _os
-            if _os.path.isdir(model_name) and _glob.glob(
-                    _os.path.join(model_name, "*.safetensors")):
-                if params_lib.checkpoint_is_w8a8(model_name):
-                    # QServe-style pre-quantized export (reference
-                    # `model/quant_model/w8a8kv4_llama.py:627-748`)
-                    params = params_lib.load_hf_params_w8a8(
-                        self.config, model_name, dtype)
-                    weight_quant = self.weight_quant = "w8a8"
-                else:
-                    params = params_lib.load_hf_params(
-                        self.config, model_name, dtype)
-            elif weight_quant == "w8a8":
-                # quantized-form init: avoids the transient bf16 copy
-                params = params_lib.init_params_w8a8(
-                    self.config, jax.random.PRNGKey(seed), dtype)
-            elif weight_quant == "w4a8":
-                params = params_lib.init_params_w4a8(
-                    self.config, jax.random.PRNGKey(seed), dtype)
-            else:
-                params = params_lib.init_params(
-                    self.config, jax.random.PRNGKey(seed), dtype)
-        if weight_quant == "w8a8" and not isinstance(
-                params["layers"].get("wq"), dict):
-            from kvzip_tpu.ops.quant import quantize_params_w8a8
-            params = quantize_params_w8a8(params)
-        if weight_quant == "w4a8" and not isinstance(
-                params["layers"].get("wq"), dict):
-            # int4 per-group weights (beyond reference: QServe geometry) —
-            # halves the decode-dominant weight read vs W8A8
-            from kvzip_tpu.ops.w4a8 import quantize_weight_int4
-            params = dict(params)
-            lp = dict(params["layers"])
-            for nm in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-                if nm in lp and not isinstance(lp[nm], dict):
-                    lp[nm] = quantize_weight_int4(lp[nm])
-            params["layers"] = lp
-        if embed_quant == "int8" and not isinstance(params["embed"], dict):
-            # halves the ~1.1 GB bf16 embed/lm_head tables of a 7B model —
-            # the 480k-ctx demo does not fit on 16 GB without this (QServe
-            # keeps them fp16, so this is opt-in)
-            from kvzip_tpu.ops.quant import quantize_embed_int8
-            params = dict(params)
-            params["embed"] = quantize_embed_int8(params["embed"], dtype)
-            if "lm_head" in params:
-                params["lm_head"] = quantize_embed_int8(params["lm_head"],
-                                                        dtype)
+        # loader policy lives in params.prepare_params (checkpoint / init /
+        # passed-in x quantization forms, all conversion paths chunked)
+        params, self.weight_quant = params_lib.prepare_params(
+            self.config, model_name, dtype=dtype, weight_quant=weight_quant,
+            embed_quant=embed_quant, seed=seed, params=params)
         self.mesh = mesh
         if mesh is not None:
             from kvzip_tpu.parallel import shard_params
@@ -668,7 +624,11 @@ class Engine:
 
     # -------------------------------------------------------------- generate
     def _decode_loop(self, max_steps: int, capacity: int, impl: str):
-        key = (max_steps, capacity, impl)
+        # eos_ids is baked into the traced fn, so it must be part of the key:
+        # benches toggle engine.eos_ids=(-1,) to disable early stop, and a
+        # stale cached fn would silently keep the old eos semantics
+        # (ADVICE r2: the asymmetry understated pruned ms/token)
+        key = (max_steps, capacity, impl, tuple(self.eos_ids))
         if key in self._decode_fns:
             return self._decode_fns[key]
 

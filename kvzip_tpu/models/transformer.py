@@ -142,6 +142,13 @@ def forward(
         windows = None
 
     lp = params["layers"]
+    # W4A8 stacks are CLOSED OVER, not scanned: a scanned Pallas operand is
+    # materialized per layer (dynamic-slice copy of the whole weight), which
+    # tripled decode weight traffic (NOTES r2; same fix as the flat-decode
+    # kernels). The stacked kernels select the layer via scalar prefetch.
+    w4 = {k: v for k, v in lp.items()
+          if isinstance(v, dict) and "q4" in v}
+    lp = {k: v for k, v in lp.items() if k not in w4}
     q_pos0 = cache.seen
     tail_len0 = cache.tail_len if is_flat else None
     if is_flat:
@@ -168,10 +175,28 @@ def forward(
 
         h = rms_norm(x, layer_params["ln_attn"], cfg.rms_norm_eps,
                      gemma=cfg.gemma_style_norm)
-        q, k, v = _lin_shared(
-            h, (layer_params["wq"], layer_params["wk"], layer_params["wv"]),
-            (layer_params.get("bq"), layer_params.get("bk"),
-             layer_params.get("bv")))
+        if "wqkv" in w4:
+            # fused W4A8 qkv: one stacked-kernel launch, one act quant
+            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            qkv = w4a8_linear_stacked(h, w4["wqkv"], layer_idx)
+            nq, nk = H * Dh, Hkv * Dh
+            q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nk], qkv[:, nq + nk:])
+            if "bq" in layer_params:
+                q = q + layer_params["bq"]
+                k = k + layer_params["bk"]
+                v = v + layer_params["bv"]
+        elif "wq" in w4:
+            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            q, k, v = (
+                w4a8_linear_stacked(h, w4[n], layer_idx,
+                                    layer_params.get(b))
+                for n, b in (("wq", "bq"), ("wk", "bk"), ("wv", "bv")))
+        else:
+            q, k, v = _lin_shared(
+                h,
+                (layer_params["wq"], layer_params["wk"], layer_params["wv"]),
+                (layer_params.get("bq"), layer_params.get("bk"),
+                 layer_params.get("bv")))
         q = q.reshape(T, H, Dh)
         k = k.reshape(T, Hkv, Dh)
         v = v.reshape(T, Hkv, Dh)
@@ -324,7 +349,12 @@ def forward(
                 q, layer_store[0], layer_store[1], base_lens, valid_l,
                 scale=scale, q_pos0=q_pos0, window=win)
 
-        attn_out = _lin(attn_out.reshape(T, H * Dh), layer_params["wo"])
+        if "wo" in w4:
+            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            attn_out = w4a8_linear_stacked(
+                attn_out.reshape(T, H * Dh), w4["wo"], layer_idx)
+        else:
+            attn_out = _lin(attn_out.reshape(T, H * Dh), layer_params["wo"])
         if cfg.post_norms:
             attn_out = rms_norm(attn_out, layer_params["ln_post_attn"],
                                 cfg.rms_norm_eps, gemma=cfg.gemma_style_norm)
@@ -332,9 +362,24 @@ def forward(
 
         h2 = rms_norm(x, layer_params["ln_mlp"], cfg.rms_norm_eps,
                       gemma=cfg.gemma_style_norm)
-        gate, up = _lin_shared(
-            h2, (layer_params["w_gate"], layer_params["w_up"]), (None, None))
-        mlp = _lin(_act(gate, cfg.hidden_act) * up, layer_params["w_down"])
+        if "w_gateup" in w4:
+            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            gu = w4a8_linear_stacked(h2, w4["w_gateup"], layer_idx)
+            gate, up = jnp.split(gu, 2, axis=-1)
+        elif "w_gate" in w4:
+            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            gate = w4a8_linear_stacked(h2, w4["w_gate"], layer_idx)
+            up = w4a8_linear_stacked(h2, w4["w_up"], layer_idx)
+        else:
+            gate, up = _lin_shared(
+                h2, (layer_params["w_gate"], layer_params["w_up"]),
+                (None, None))
+        hidden = _act(gate, cfg.hidden_act) * up
+        if "w_down" in w4:
+            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            mlp = w4a8_linear_stacked(hidden, w4["w_down"], layer_idx)
+        else:
+            mlp = _lin(hidden, layer_params["w_down"])
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer_params["ln_post_mlp"], cfg.rms_norm_eps,
                            gemma=cfg.gemma_style_norm)

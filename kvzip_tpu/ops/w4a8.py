@@ -190,6 +190,201 @@ def w4a8_linear(x: jax.Array, w: dict, bias=None) -> jax.Array:
     return w4a8_matmul(x, w["q4"], w["s"], w["z"], bias)
 
 
+# --------------------------------------------------------- stacked (scan) path
+#
+# Decode runs the layer stack as ONE lax.scan; a scanned Pallas operand is
+# materialized per iteration (dynamic-slice of the (L, ...) stack into a fresh
+# buffer), so the v1 per-layer kernel paid copy-write + copy-read + kernel-read
+# = ~3x the int4 weight bytes every decode step — measured 12.8 ms/step at 7B
+# vs 9.98 for W8A8 whose plain dot XLA reads in place (NOTES r2). The stacked
+# kernels below take the FULL (L, ...) weight stacks + the layer index as a
+# scalar-prefetch argument; the Pallas index maps select the layer block, so
+# nothing is copied (same fix as ops/flat_decode.py grid design). qkv and
+# gate/up are additionally fused into single launches at the parameter level
+# (see fuse_w4a8_params) — 4 launches per layer instead of 7, one shared
+# activation quantization each (the role of the reference's fused quantizing
+# RMSNorm / SiluAndMulQuant, `model/quant_model/w8a8kv4_llama.py:126-163`).
+
+
+def _pick_bt_gpb(t_rows: int, Gp: int, half: int, out: int,
+                 budget: int = 60 * 2 ** 20):
+    """(token-block, groups-per-block) under a VMEM budget.
+
+    The v1 kernel's fixed BT=256/gpb=16 allocated 118 MB of scoped VMEM on
+    the (16384, 18944) gate/up prefill shape — over Mosaic's limit. Budget
+    terms: double-buffered weight block, f32 accumulator, (buffered) output
+    block, activation block, scale/zero blocks."""
+    for bt in (256, 128, 64, 32, 16, 8):
+        if bt > max(8, t_rows) and bt != 8:
+            continue
+        for gpb in (16, 8, 4, 2, 1):
+            if Gp % gpb:
+                continue
+            need = (2 * gpb * GROUP * half      # u8 weight block x2
+                    + 4 * bt * out              # f32 accumulator scratch
+                    + 2 * 2 * bt * out          # out block x2
+                    + 2 * bt * gpb * GROUP      # s8 activations x2
+                    + 4 * 4 * gpb * out)        # scale/zero blocks x2 each
+            if need <= budget:
+                return bt, gpb
+    return 8, 1
+
+
+def _w4a8_stacked_kernel(m_ref, xq_ref, xs_ref, wq_ref, s_ref, z_ref, o_ref,
+                         acc_scr, *, gpb: int, dtype):
+    del m_ref  # layer index is consumed by the index maps only
+    gb = pl.program_id(1)
+    nb = pl.num_programs(1)
+
+    @pl.when(gb == 0)
+    def _():
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    wb = wq_ref[0]                                       # (gpb*GROUP, half)
+    b8 = jax.lax.bitcast_convert_type(wb, jnp.int8)      # stored = b - 128
+    lo8 = jax.lax.bitcast_convert_type(wb & 0xF, jnp.int8)
+
+    acc = jnp.zeros(acc_scr.shape, jnp.float32)
+    for g in range(gpb):
+        sl = slice(g * GROUP, (g + 1) * GROUP)
+        xg = xq_ref[:, sl]                               # (BT, 128) s8
+        xg_sum = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        m1 = jax.lax.dot_general(xg, b8[sl], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        m2 = jax.lax.dot_general(xg, lo8[sl], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+        qb = m1.astype(jnp.float32) + 128.0 * xg_sum
+        qn = jnp.concatenate(
+            [(qb - m2.astype(jnp.float32)) * (1.0 / 16.0),
+             m2.astype(jnp.float32)], axis=1)            # (BT, OUT)
+        acc += qn * s_ref[0, g, 0] + xg_sum * z_ref[0, g, 0]
+    acc_scr[...] += acc
+
+    @pl.when(gb == nb - 1)
+    def _():
+        o_ref[...] = (acc_scr[...] * xs_ref[...]).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w4a8_matmul_stacked(x: jax.Array, wq4: jax.Array, ws: jax.Array,
+                        wz: jax.Array, layer: jax.Array, *,
+                        interpret: bool = False) -> jax.Array:
+    """x (T, IN) x layer ``layer`` of int4-packed weight stacks -> (T, OUT).
+
+    wq4 (L, INp, OUT//2) uint8, ws/wz (L, Gp, OUT) f32 — the FULL stacks;
+    the scalar-prefetched layer index selects the block, so calling this
+    inside a scan reads only that layer's bytes (no materialized slice).
+    """
+    from kvzip_tpu.ops.quant import quantize_act_int8
+
+    T, IN = x.shape
+    _, INp, half = wq4.shape
+    OUT = 2 * half
+    Gp = ws.shape[1]
+    BT, gpb = _pick_bt_gpb(T, Gp, half, OUT)
+    Tp = -(-max(T, BT) // BT) * BT
+
+    xq, xs = quantize_act_int8(x)
+    if INp != IN:
+        xq = jnp.pad(xq, ((0, 0), (0, INp - IN)))
+    if Tp != T:
+        xq = jnp.pad(xq, ((0, Tp - T), (0, 0)))
+        xs = jnp.pad(xs, ((0, Tp - T), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Tp // BT, Gp // gpb),
+        in_specs=[
+            pl.BlockSpec((BT, gpb * GROUP), lambda tb, gb, m: (tb, gb)),
+            pl.BlockSpec((BT, 1), lambda tb, gb, m: (tb, 0)),
+            pl.BlockSpec((1, gpb * GROUP, half),
+                         lambda tb, gb, m: (m[0], gb, 0)),
+            pl.BlockSpec((1, gpb, 1, OUT), lambda tb, gb, m: (m[0], gb, 0, 0)),
+            pl.BlockSpec((1, gpb, 1, OUT), lambda tb, gb, m: (m[0], gb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((BT, OUT), lambda tb, gb, m: (tb, 0)),
+        scratch_shapes=[pltpu.VMEM((BT, OUT), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_w4a8_stacked_kernel, gpb=gpb, dtype=x.dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, OUT), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xq, xs.astype(jnp.float32),
+      wq4, ws[:, :, None], wz[:, :, None])
+    return out[:T]
+
+
+def w4a8_linear_stacked(x: jax.Array, w: dict, layer: jax.Array,
+                        bias=None) -> jax.Array:
+    """Stacked-layer W4A8 linear: w holds (L, ...) stacks, ``layer`` selects.
+
+    CPU fallback dequantizes just that layer (tests / interpret lanes)."""
+    if jax.default_backend() == "cpu":
+        wl = {k: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+              for k, v in w.items()}
+        return _w4a8_jnp(x, wl, bias)
+    y = w4a8_matmul_stacked(x, w["q4"], w["s"], w["z"], layer)
+    return y if bias is None else y + bias
+
+
+def _unpack_nibbles(packed: jax.Array) -> jax.Array:
+    """Stored split-packed bytes -> logical uint4 columns (..., OUT)."""
+    b = packed ^ 0x80                                    # undo the s8 pre-bias
+    return jnp.concatenate([b >> 4, b & 0xF], axis=-1)
+
+
+def fuse_w4a8(ws: list) -> dict:
+    """Concatenate several int4 weight dicts along OUT into one (exactly:
+    per-(group, out-column) scales make column-concat lossless). Repacks at
+    the nibble level so the fused byte layout is canonical split packing —
+    the fused kernel output is the plain [w0 | w1 | ...] column order."""
+    q = jnp.concatenate([_unpack_nibbles(w["q4"]) for w in ws], axis=-1)
+    half = q.shape[-1] // 2
+    packed = ((q[..., :half] << 4) | q[..., half:]) ^ 0x80
+    return {"q4": packed,
+            "s": jnp.concatenate([w["s"] for w in ws], axis=-1),
+            "z": jnp.concatenate([w["z"] for w in ws], axis=-1)}
+
+
+def fuse_w4a8_params(layers: dict, chunk_layers: int = 4) -> dict:
+    """Fuse wq/wk/wv -> wqkv and w_gate/w_up -> w_gateup in a stacked W4A8
+    layer dict (single kernel launches + one shared activation quant each).
+
+    Processed in layer chunks: the nibble-unpacked transient of a 7B gate/up
+    stack is ~3.8 GB — chunking bounds it to ~chunk_layers/L of that.
+    """
+    lp = dict(layers)
+
+    def _fused(names):
+        parts = []
+        L = lp[names[0]]["q4"].shape[0]
+        fuse_j = jax.jit(lambda *ws: fuse_w4a8(list(ws)))
+        for l0 in range(0, L, chunk_layers):
+            sl = slice(l0, min(l0 + chunk_layers, L))
+            part = fuse_j(*[
+                {k: v[sl] for k, v in lp[n].items()} for n in names])
+            jax.block_until_ready(part["q4"])
+            parts.append(part)
+        return (parts[0] if len(parts) == 1 else
+                jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *parts))
+
+    if all(isinstance(lp.get(n), dict) and "q4" in lp[n]
+           for n in ("wq", "wk", "wv")):
+        lp["wqkv"] = _fused(("wq", "wk", "wv"))
+        for n in ("wq", "wk", "wv"):
+            del lp[n]
+    if all(isinstance(lp.get(n), dict) and "q4" in lp[n]
+           for n in ("w_gate", "w_up")):
+        lp["w_gateup"] = _fused(("w_gate", "w_up"))
+        for n in ("w_gate", "w_up"):
+            del lp[n]
+    return lp
+
+
 def _w4a8_jnp(x: jax.Array, w: dict, bias=None) -> jax.Array:
     """Dequantized-matmul fallback: same A8 activation rounding as the
     kernel, bf16/f32 weight expansion (CPU tests)."""

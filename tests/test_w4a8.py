@@ -73,6 +73,42 @@ def test_pallas_matmul_bias_and_bf16():
                                rtol=0.05, atol=0.05)
 
 
+def test_fuse_w4a8_exact():
+    """Nibble-level refusion is LOSSLESS: the fused dict dequantizes to the
+    column-concat of the individual dequantized weights."""
+    from kvzip_tpu.ops.w4a8 import fuse_w4a8
+
+    rng = np.random.default_rng(3)
+    ws = [jnp.asarray(rng.standard_normal((2, 256, out)), jnp.float32)
+          for out in (128, 256, 384)]
+    qs = [quantize_weight_int4(w) for w in ws]
+    fused = fuse_w4a8(qs)
+    want = jnp.concatenate([dequantize_weight_int4(q, jnp.float32)
+                            for q in qs], axis=-1)
+    got = dequantize_weight_int4(fused, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_stacked_matmul_matches_per_layer():
+    """Stacked kernel (interpret) selects the right layer and matches the
+    jnp fallback for every layer index."""
+    from kvzip_tpu.ops.w4a8 import w4a8_matmul_stacked
+
+    rng = np.random.default_rng(4)
+    L = 3
+    w = jnp.asarray(rng.standard_normal((L, 256, 384)), jnp.float32)
+    wq = quantize_weight_int4(w)
+    for T in (1, 9):
+        x = jnp.asarray(rng.standard_normal((T, 256)), jnp.float32)
+        for l in range(L):
+            got = w4a8_matmul_stacked(x, wq["q4"], wq["s"], wq["z"],
+                                      jnp.int32(l), interpret=True)
+            want = _w4a8_jnp(
+                x, {k: v[l] for k, v in wq.items()})
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-4)
+
+
 def test_engine_w4a8_end_to_end():
     """weight_quant='w4a8' runs the full pipeline and tracks the bf16
     engine's predictions closely (int4 per-group weights, jnp fallback on
@@ -92,7 +128,10 @@ def test_engine_w4a8_end_to_end():
                  tokenizer=ref.tokenizer, weight_quant="w4a8",
                  max_new_tokens=5, decode_budget=256,
                  capacity_granularity=256, score_chunk_size=256)
-    assert "q4" in eng.params["layers"]["wq"]
+    # conversion fuses qkv / gate-up into single stacked-kernel launches
+    assert "q4" in eng.params["layers"]["wqkv"]
+    assert "q4" in eng.params["layers"]["w_gateup"]
+    assert "wq" not in eng.params["layers"]
 
     st_ref = ref.prefill(ctx, prefill_chunk_size=300)
     st = eng.prefill(ctx, prefill_chunk_size=300)

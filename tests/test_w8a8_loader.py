@@ -29,8 +29,10 @@ _PROJS = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
 def _build_bf16_ckpt(tmp_path):
     import transformers
 
+    # hidden >= 128: the W4A8 per-group quantization needs at least one full
+    # 128-wide input group (stream-quantize test below covers w4a8 too)
     config = transformers.Qwen2Config(
-        vocab_size=256, hidden_size=64, intermediate_size=128,
+        vocab_size=256, hidden_size=128, intermediate_size=256,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         max_position_embeddings=512, torch_dtype="float32",
         rope_theta=10000.0, rms_norm_eps=1e-6, tie_word_embeddings=False)
@@ -114,6 +116,47 @@ def test_logits_match_quantize_on_load(ckpts):
     lg = forward(got, cfg, ids, cache, collect_logits="all").logits
     np.testing.assert_allclose(np.asarray(lr), np.asarray(lg),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stream_quantize_matches_unchunked(ckpts):
+    """Streaming bf16->quant loader (VERDICT r2 item 4): chunked host->device
+    conversion produces EXACTLY the same quantized stacks as materializing
+    the full bf16 params first — for both W8A8 and W4A8 forms."""
+    bf16, _ = ckpts
+    cfg = ModelConfig.from_json(f"{bf16}/config.json", name="tiny-qwen2")
+
+    full = load_hf_params(cfg, bf16, dtype=jnp.bfloat16)
+
+    ref8 = quantize_params_w8a8(full)
+    got8 = load_hf_params(cfg, bf16, dtype=jnp.bfloat16, weight_quant="w8a8",
+                          chunk_layers=1)
+    for slot in ("wq", "wo", "w_down"):
+        np.testing.assert_array_equal(
+            np.asarray(ref8["layers"][slot]["q"]),
+            np.asarray(got8["layers"][slot]["q"]), err_msg=slot)
+
+    from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+    got4 = load_hf_params(cfg, bf16, dtype=jnp.bfloat16, weight_quant="w4a8",
+                          chunk_layers=1)
+    for slot in ("wq", "w_gate"):
+        ref4 = quantize_weight_int4(full["layers"][slot])
+        np.testing.assert_array_equal(np.asarray(ref4["q4"]),
+                                      np.asarray(got4["layers"][slot]["q4"]),
+                                      err_msg=slot)
+
+
+def test_prepare_params_streams_bf16_checkpoint(ckpts):
+    """Engine init on a bf16 checkpoint dir + weight_quant goes through the
+    streaming loader and ends with fused stacked W4A8 weights."""
+    from kvzip_tpu.models.params import prepare_params
+
+    bf16, _ = ckpts
+    cfg = ModelConfig.from_json(f"{bf16}/config.json", name="tiny-qwen2")
+    p, wq = prepare_params(cfg, bf16, dtype=jnp.bfloat16,
+                           weight_quant="w4a8")
+    assert wq == "w4a8"
+    assert "q4" in p["layers"]["wqkv"] and "q4" in p["layers"]["w_gateup"]
+    assert "wq" not in p["layers"]
 
 
 def test_engine_autodetects_w8a8(ckpts):
