@@ -135,6 +135,7 @@ class Engine:
         flat_decode: str = "auto",   # "auto" | "on" | "off"
         attn_quant: str = "none",    # "none" | "int8" (flat-decode s8 dots)
         mesh=None,
+        seq_parallel: bool = False,  # ring-attention prefill over mesh "data"
         seed: int = 0,
     ):
         self.config = config or resolve_config(model_name)
@@ -160,6 +161,7 @@ class Engine:
         self.weight_quant = weight_quant
         self.flat_decode = flat_decode
         self.attn_quant = attn_quant
+        self.seq_parallel = seq_parallel
         # loader policy lives in params.prepare_params (checkpoint / init /
         # passed-in x quantization forms, all conversion paths chunked)
         params, self.weight_quant = params_lib.prepare_params(
@@ -172,7 +174,15 @@ class Engine:
         self.params = params
         self.tokenizer = tokenizer or load_tokenizer(
             model_name, vocab_size=self.config.vocab_size)
-        self.eos_ids = tuple(template_lib.eos_ids(model_name, self.tokenizer)) or (1,)
+        # no silent fallback (VERDICT r2 item 9): an unknown family with a
+        # tokenizer that declares no eos would otherwise stop on an
+        # arbitrary token id
+        _eos = template_lib.eos_ids(model_name, self.tokenizer)
+        if not _eos:
+            raise ValueError(
+                f"no eos ids for {model_name!r}: the tokenizer declares "
+                "none and the template table has no entry for this family")
+        self.eos_ids = tuple(_eos)
         self.set_chat_template()
         self._decode_fns = {}
 
@@ -282,6 +292,39 @@ class Engine:
         state.cache = refold_flat(cache, _round_flat_rows(rows))
         state.snapshot()
 
+    def _ring_prefill(self, state: KVState, prefill_ids: np.ndarray) -> int:
+        """Sequence-parallel prefill over the mesh "data" axis (opt-in via
+        ``Engine(..., seq_parallel=True)``, SURVEY §2b / VERDICT r2 item 6).
+
+        The largest data-axis-divisible prefix goes through the ring
+        (`parallel/ring_prefill.py`: K/V slabs rotate via ppermute while
+        every shard accumulates online-softmax attention of its local Q);
+        the produced KV is resharded to the engine's head-sharded layout in
+        one device_put, and the remainder tokens + scoring/prune/decode run
+        on the normal path. Returns the number of tokens prefetched (0 when
+        the ring does not apply: no data axis, quantized/hybrid cache, or
+        fused-W4A8 weights)."""
+        from kvzip_tpu.cache import KVCache as _DenseKV
+
+        if (not self.seq_parallel or self.mesh is None
+                or "data" not in self.mesh.axis_names
+                or self.mesh.shape["data"] < 2
+                or type(state.cache) is not _DenseKV
+                or "wq" not in self.params["layers"]):
+            return 0
+        n = self.mesh.shape["data"]
+        t_ring = (len(prefill_ids) // n) * n
+        if t_ring < n:
+            return 0
+        from kvzip_tpu.parallel.ring_prefill import (reshard_to_cache,
+                                                     ring_prefill)
+        k, v = ring_prefill(self.params, self.config,
+                            jnp.asarray(prefill_ids[:t_ring], jnp.int32),
+                            self.mesh)
+        state.cache = reshard_to_cache(k, v, self.mesh, state.cache)
+        self._sync(state)
+        return t_ring
+
     @staticmethod
     def _sync(state: KVState) -> None:
         """Drain the dispatch queue with a scalar fetch (~50 ms roundtrip).
@@ -363,7 +406,7 @@ class Engine:
             ctx_len=int(len(ctx_ids)), prefill_len=prefill_len,
             prefill_ids=prefill_ids, ctx_ids=ctx_ids)
 
-        pos = 0
+        pos = self._ring_prefill(state, prefill_ids)
         while pos < prefill_len:
             n = min(prefill_chunk_size, prefill_len - pos)
             self._forward_chunks(prefill_ids[pos:pos + n], state)

@@ -61,6 +61,11 @@ def quantize_weight_int4(w: jax.Array, group: int = GROUP) -> dict:
     mx = wf.max(axis=-2)
     s = (mx - mn) / 15.0 + 1e-8                      # (..., G, OUT)
     z = mn
+    # scales/zeros stored bf16 (re-rounded BEFORE quantizing q so the
+    # stored grid is exactly consistent): halves the ~0.87 GB f32 scale
+    # read of a 7B decode step; the kernel computes in f32 regardless
+    s = s.astype(jnp.bfloat16).astype(jnp.float32)
+    z = z.astype(jnp.bfloat16).astype(jnp.float32)
     q = jnp.clip(jnp.round((wf - z[..., None, :]) / s[..., None, :]), 0, 15)
     q = q.astype(jnp.uint8).reshape(*lead, IN, OUT)
     half = OUT // 2
@@ -73,6 +78,9 @@ def quantize_weight_int4(w: jax.Array, group: int = GROUP) -> dict:
         packed = jnp.pad(packed, lead_pad + [(0, (Gp - G) * group), (0, 0)])
         s = jnp.pad(s, lead_pad + [(0, Gp - G), (0, 0)])
         z = jnp.pad(z, lead_pad + [(0, Gp - G), (0, 0)])
+    # stored f32 (values already on the bf16 grid): a bf16 (gpb, 1, OUT)
+    # scale block has sublane extent 1 — Mosaic's layout conversion for it
+    # measured 3.5x slower than the f32 read it was supposed to save
     return {"q4": packed, "s": s.astype(jnp.float32),
             "z": z.astype(jnp.float32)}
 
@@ -213,10 +221,16 @@ def _pick_bt_gpb(t_rows: int, Gp: int, half: int, out: int,
     The v1 kernel's fixed BT=256/gpb=16 allocated 118 MB of scoped VMEM on
     the (16384, 18944) gate/up prefill shape — over Mosaic's limit. Budget
     terms: double-buffered weight block, f32 accumulator, (buffered) output
-    block, activation block, scale/zero blocks."""
+    block, activation block, scale/zero blocks. Prefers few, LARGE group
+    blocks: at decode shapes the ~2-4 us per-grid-step floor is the
+    dominant non-bandwidth cost (NOTES r2)."""
     for bt in (256, 128, 64, 32, 16, 8):
         if bt > max(8, t_rows) and bt != 8:
             continue
+        # candidates capped at 16 groups (2048 rows): 32+ makes weight
+        # blocks so large (e.g. 77 MB double-buffered on gate/up) that the
+        # 2-step grid cannot pipeline DMA against compute — measured 3.5x
+        # SLOWER than 16-group blocks at decode shapes
         for gpb in (16, 8, 4, 2, 1):
             if Gp % gpb:
                 continue
@@ -224,27 +238,33 @@ def _pick_bt_gpb(t_rows: int, Gp: int, half: int, out: int,
                     + 4 * bt * out              # f32 accumulator scratch
                     + 2 * 2 * bt * out          # out block x2
                     + 2 * bt * gpb * GROUP      # s8 activations x2
-                    + 4 * 4 * gpb * out)        # scale/zero blocks x2 each
+                    + 4 * 2 * gpb * out)        # bf16 scale/zero blocks x2
             if need <= budget:
                 return bt, gpb
     return 8, 1
 
 
 def _w4a8_stacked_kernel(m_ref, xq_ref, xs_ref, wq_ref, s_ref, z_ref, o_ref,
-                         acc_scr, *, gpb: int, dtype):
+                         hi_scr, lo_scr, *, gpb: int, dtype):
+    """Two (BT, half) slab accumulators (hi-nibble cols / lo-nibble cols):
+    no per-group concat — the hi/lo halves only meet at the final slab
+    writes into the output ref."""
     del m_ref  # layer index is consumed by the index maps only
     gb = pl.program_id(1)
     nb = pl.num_programs(1)
+    half = hi_scr.shape[1]
 
     @pl.when(gb == 0)
     def _():
-        acc_scr[...] = jnp.zeros_like(acc_scr)
+        hi_scr[...] = jnp.zeros_like(hi_scr)
+        lo_scr[...] = jnp.zeros_like(lo_scr)
 
     wb = wq_ref[0]                                       # (gpb*GROUP, half)
     b8 = jax.lax.bitcast_convert_type(wb, jnp.int8)      # stored = b - 128
     lo8 = jax.lax.bitcast_convert_type(wb & 0xF, jnp.int8)
 
-    acc = jnp.zeros(acc_scr.shape, jnp.float32)
+    acc_hi = jnp.zeros(hi_scr.shape, jnp.float32)
+    acc_lo = jnp.zeros(lo_scr.shape, jnp.float32)
     for g in range(gpb):
         sl = slice(g * GROUP, (g + 1) * GROUP)
         xg = xq_ref[:, sl]                               # (BT, 128) s8
@@ -253,16 +273,21 @@ def _w4a8_stacked_kernel(m_ref, xq_ref, xs_ref, wq_ref, s_ref, z_ref, o_ref,
                                  preferred_element_type=jnp.int32)
         m2 = jax.lax.dot_general(xg, lo8[sl], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.int32)
+        m2f = m2.astype(jnp.float32)
         qb = m1.astype(jnp.float32) + 128.0 * xg_sum
-        qn = jnp.concatenate(
-            [(qb - m2.astype(jnp.float32)) * (1.0 / 16.0),
-             m2.astype(jnp.float32)], axis=1)            # (BT, OUT)
-        acc += qn * s_ref[0, g, 0] + xg_sum * z_ref[0, g, 0]
-    acc_scr[...] += acc
+        s_row = s_ref[0, g].astype(jnp.float32)          # (OUT,)
+        z_row = z_ref[0, g].astype(jnp.float32)
+        acc_hi += ((qb - m2f) * (1.0 / 16.0)) * s_row[:half] \
+            + xg_sum * z_row[:half]
+        acc_lo += m2f * s_row[half:] + xg_sum * z_row[half:]
+    hi_scr[...] += acc_hi
+    lo_scr[...] += acc_lo
 
     @pl.when(gb == nb - 1)
     def _():
-        o_ref[...] = (acc_scr[...] * xs_ref[...]).astype(dtype)
+        xs = xs_ref[...]
+        o_ref[:, :half] = (hi_scr[...] * xs).astype(dtype)
+        o_ref[:, half:] = (lo_scr[...] * xs).astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -299,34 +324,70 @@ def w4a8_matmul_stacked(x: jax.Array, wq4: jax.Array, ws: jax.Array,
             pl.BlockSpec((BT, 1), lambda tb, gb, m: (tb, 0)),
             pl.BlockSpec((1, gpb * GROUP, half),
                          lambda tb, gb, m: (m[0], gb, 0)),
-            pl.BlockSpec((1, gpb, 1, OUT), lambda tb, gb, m: (m[0], gb, 0, 0)),
-            pl.BlockSpec((1, gpb, 1, OUT), lambda tb, gb, m: (m[0], gb, 0, 0)),
+            # 3D (1, gpb, OUT) blocks: a singleton sublane axis (or bf16
+            # scales under one) hits a Mosaic layout-conversion slow path
+            # measured 3.5x the whole kernel
+            pl.BlockSpec((1, gpb, OUT), lambda tb, gb, m: (m[0], gb, 0)),
+            pl.BlockSpec((1, gpb, OUT), lambda tb, gb, m: (m[0], gb, 0)),
         ],
         out_specs=pl.BlockSpec((BT, OUT), lambda tb, gb, m: (tb, 0)),
-        scratch_shapes=[pltpu.VMEM((BT, OUT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BT, half), jnp.float32),
+                        pltpu.VMEM((BT, half), jnp.float32)],
     )
     out = pl.pallas_call(
         functools.partial(_w4a8_stacked_kernel, gpb=gpb, dtype=x.dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Tp, OUT), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2 ** 20,
+            vmem_limit_bytes=112 * 2 ** 20,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), xq, xs.astype(jnp.float32),
-      wq4, ws[:, :, None], wz[:, :, None])
+      wq4, ws, wz)
     return out[:T]
+
+
+# above this many query rows the fused-dequant kernel goes VPU-bound (its
+# scale/zero epilogue is O(T x OUT) PER GROUP); dequantizing the layer once
+# to bf16 and taking a single MXU matmul is ~1.7x faster at prefill shapes
+DEQUANT_T = 512
+
+
+def _w4a8_dequant_matmul(x: jax.Array, w: dict, layer: jax.Array,
+                         bias=None) -> jax.Array:
+    """Prefill-shape route: dequantize ONE layer to bf16 (O(IN x OUT), paid
+    once, amortized over T rows) + a plain MXU matmul. Activations still
+    round through s8 (A8 semantics preserved); the bf16 weight expansion
+    adds ~0.4% rounding on top of the int4 grid — far below the int4 error."""
+    from kvzip_tpu.ops.quant import quantize_act_int8
+
+    wl = {k: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
+          for k, v in w.items()}
+    deq = dequantize_weight_int4(wl, jnp.bfloat16)       # (INp, OUT)
+    xq, xs = quantize_act_int8(x)
+    INp = deq.shape[0]
+    if INp != x.shape[-1]:
+        xq = jnp.pad(xq, ((0, 0), (0, INp - x.shape[-1])))
+    acc = jax.lax.dot_general(xq.astype(jnp.bfloat16), deq,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    y = (acc * xs).astype(x.dtype)
+    return y if bias is None else y + bias
 
 
 def w4a8_linear_stacked(x: jax.Array, w: dict, layer: jax.Array,
                         bias=None) -> jax.Array:
     """Stacked-layer W4A8 linear: w holds (L, ...) stacks, ``layer`` selects.
 
+    Decode/small-T goes through the fused Pallas kernel (weight-read bound);
+    prefill/scoring shapes take the dequant-then-matmul route (MXU bound).
     CPU fallback dequantizes just that layer (tests / interpret lanes)."""
     if jax.default_backend() == "cpu":
         wl = {k: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
               for k, v in w.items()}
         return _w4a8_jnp(x, wl, bias)
+    if x.shape[0] >= DEQUANT_T:
+        return _w4a8_dequant_matmul(x, w, layer, bias)
     y = w4a8_matmul_stacked(x, w["q4"], w["s"], w["z"], layer)
     return y if bias is None else y + bias
 

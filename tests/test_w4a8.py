@@ -109,6 +109,26 @@ def test_stacked_matmul_matches_per_layer():
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_dequant_route_matches_kernel_semantics():
+    """Large-T route (dequantize layer to bf16 + one MXU matmul): same A8
+    activation rounding, bf16 weight expansion adds only sub-percent noise
+    vs the exact f32 scale algebra."""
+    from kvzip_tpu.ops.w4a8 import _w4a8_dequant_matmul
+
+    rng = np.random.default_rng(6)
+    L = 2
+    w = jnp.asarray(rng.standard_normal((L, 256, 384)), jnp.float32)
+    wq = quantize_weight_int4(w)
+    x = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+    for l in range(L):
+        got = _w4a8_dequant_matmul(x, wq, jnp.int32(l))
+        want = _w4a8_jnp(x, {k: v[l] for k, v in wq.items()})
+        # bf16 weight products under f32 accumulation: ~0.4% relative noise
+        # on outputs of magnitude ~sqrt(IN); tolerance sized to that
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=0.15)
+
+
 def test_engine_w4a8_end_to_end():
     """weight_quant='w4a8' runs the full pipeline and tracks the bf16
     engine's predictions closely (int4 per-group weights, jnp fallback on
