@@ -102,6 +102,11 @@ class KVState:
         return round(self.cache.used_bytes() / 1e9, 3)
 
 
+def _score_progress() -> bool:
+    import os
+    return os.environ.get("KVZIP_PROGRESS", "") not in ("", "0")
+
+
 @partial(jax.jit, donate_argnames=("score",))
 def _place_scores(score, chunk, offset, n):
     """Write the first ``n`` columns of ``chunk`` into score at ``offset``."""
@@ -406,12 +411,22 @@ class Engine:
             ctx_len=int(len(ctx_ids)), prefill_len=prefill_len,
             prefill_ids=prefill_ids, ctx_ids=ctx_ids)
 
+        import os as _os
+        import sys as _sys
+        import time as _time
+        progress = _os.environ.get("KVZIP_PROGRESS", "") not in ("", "0")
+
         pos = self._ring_prefill(state, prefill_ids)
         while pos < prefill_len:
             n = min(prefill_chunk_size, prefill_len - pos)
+            t0 = _time.time()
             self._forward_chunks(prefill_ids[pos:pos + n], state)
             pos += n
             self._sync(state)
+            if progress:
+                print(f"[prefill] {pos}/{prefill_len} "
+                      f"(+{n} tok, {_time.time() - t0:.1f}s)",
+                      file=_sys.stderr, flush=True)
 
         state.snapshot()
         if do_score:
@@ -490,6 +505,10 @@ class Engine:
             start += len(a_ids)
             state.restore_snapshot()
             self._sync(state)
+            if _score_progress():
+                import sys as _sys
+                print(f"[scoring] {start - state.sink}/{state.ctx_len}",
+                      file=_sys.stderr, flush=True)
 
         assert start - state.sink == state.ctx_len
         state.score = score[:, :, :state.ctx_len]
@@ -522,8 +541,11 @@ class Engine:
                          if self.config.is_hybrid else None)
         keep, thres, true_ratio = prune_lib.prune_mask(
             state.score, ratio, level, static_layers,
-            # sharded scores: histogram quantile instead of a replicated sort
-            method="histogram" if self.mesh is not None else "sort")
+            # histogram quantile everywhere: identical mask to the sort on
+            # bf16-grid scores (tests/test_parallel.py), local under
+            # sharding, and avoids XLA's slow multi-10M-element sort — the
+            # sort was a large, erratic share of prune_s (VERDICT r2 item 5)
+            method="histogram")
 
         if state.kv_type == "retain":
             from kvzip_tpu.cache import HybridKV

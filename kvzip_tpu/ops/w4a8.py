@@ -228,12 +228,20 @@ def _pick_bt_gpb(t_rows: int, Gp: int, half: int, out: int,
     for bt in (256, 128, 64, 32, 16, 8):
         if bt > max(8, t_rows) and bt != 8:
             continue
-        # candidates capped at 16 groups (2048 rows): 32+ makes weight
-        # blocks so large (e.g. 77 MB double-buffered on gate/up) that the
-        # 2-step grid cannot pipeline DMA against compute — measured 3.5x
-        # SLOWER than 16-group blocks at decode shapes
-        for gpb in (16, 8, 4, 2, 1):
+        # >16-group candidates only when the weight block stays small:
+        # big blocks (e.g. 77 MB double-buffered on gate/up) leave a 2-step
+        # grid that cannot pipeline DMA against compute — measured 3.5x
+        # SLOWER than 16-group blocks at decode shapes. Small-half matrices
+        # (down/o/qkv) benefit: fewer grid steps against the 2-4 us floor.
+        for gpb in (64, 32, 16, 8, 4, 2, 1):
             if Gp % gpb:
+                continue
+            # Mosaic block rule: the second-to-last block dim of the 3D
+            # scale blocks (1, gpb, OUT) must be divisible by 8 or equal
+            # the overall array dim (hit at the ladder's 256-token chunks)
+            if gpb % 8 and gpb != Gp:
+                continue
+            if gpb > 16 and gpb * GROUP * half > 10 * 2 ** 20:
                 continue
             need = (2 * gpb * GROUP * half      # u8 weight block x2
                     + 4 * bt * out              # f32 accumulator scratch
@@ -242,7 +250,7 @@ def _pick_bt_gpb(t_rows: int, Gp: int, half: int, out: int,
                     + 4 * 2 * gpb * out)        # bf16 scale/zero blocks x2
             if need <= budget:
                 return bt, gpb
-    return 8, 1
+    return 8, (8 if Gp % 8 == 0 else Gp)
 
 
 def _w4a8_stacked_kernel(m_ref, xq_ref, xs_ref, wq_ref, s_ref, z_ref, o_ref,

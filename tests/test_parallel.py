@@ -69,6 +69,20 @@ def test_histogram_threshold_matches_sort():
                                       np.asarray(jax.device_get(v_sort)))
         assert abs(t_hist - t_sort) < 1e-6
 
+    # head-level scores = per-head scalars broadcast over the sequence:
+    # massive ties — the k-th element sits inside a tie block and the
+    # strict `> thres` keep rule must match the sort exactly (histogram is
+    # the engine default now, including level="head")
+    head = jnp.asarray(rng.gamma(0.4, 1.0, size=(4, 8)).astype(np.float32)
+                       ).astype(jnp.bfloat16).astype(jnp.float32)
+    bcast = jnp.broadcast_to(head[:, :, None], (4, 8, 512))
+    for ratio in (0.3, 0.6):
+        v_sort, t_sort = threshold_global(bcast, ratio)
+        v_hist, t_hist = threshold_histogram(bcast, ratio)
+        np.testing.assert_array_equal(np.asarray(jax.device_get(v_hist)),
+                                      np.asarray(jax.device_get(v_sort)))
+        assert abs(t_hist - t_sort) < 1e-6
+
     if len(jax.devices()) >= 8:
         mesh = make_mesh(8, tp=8)
         sharded = jax.device_put(

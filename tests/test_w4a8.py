@@ -109,6 +109,22 @@ def test_stacked_matmul_matches_per_layer():
                                        rtol=2e-4, atol=2e-4)
 
 
+def test_pick_bt_gpb_always_mosaic_legal():
+    """Every (T, shape) combination must yield blocks Mosaic accepts: gpb
+    divisible by 8 or equal to Gp (the 480k demo died on a (1,4,37888)
+    scale block picked for a 256-token ladder chunk)."""
+    from kvzip_tpu.ops.w4a8 import _pad_groups, _pick_bt_gpb
+
+    shapes = [(3584, 4608), (3584, 37888), (18944, 3584), (3584, 3584),
+              (256, 384), (128, 256), (384, 256), (2048, 2048)]
+    for IN, OUT in shapes:
+        Gp, _ = _pad_groups(max(IN // 128, 1))
+        for T in (1, 8, 64, 256, 2304, 16384):
+            bt, gpb = _pick_bt_gpb(T, Gp, OUT // 2, OUT)
+            assert Gp % gpb == 0, (IN, OUT, T, bt, gpb)
+            assert gpb % 8 == 0 or gpb == Gp, (IN, OUT, T, bt, gpb)
+
+
 def test_dequant_route_matches_kernel_semantics():
     """Large-T route (dequantize layer to bf16 + one MXU matmul): same A8
     activation rounding, bf16 weight expansion adds only sub-percent noise
