@@ -274,6 +274,11 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
         T>1: merged query ingestion). toks (B, T); returns final hidden
         states (B, T, Dm) + grown tails."""
         BT = B * T
+        # fused-W4A8 stacks stay OUT of the scan (same as transformer.py:
+        # a scanned Pallas operand is copied per layer); the stacked
+        # kernels select the layer via scalar prefetch
+        w4 = {kk: vv for kk, vv in params["layers"].items()
+              if isinstance(vv, dict) and "q4" in vv}
         x = embed_lookup(params["embed"], toks.reshape(BT))  # (BT, Dm)
         if cfg.gemma_style_norm:
             x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
@@ -285,9 +290,18 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
             lp, li = xs
             h = rms_norm(x, lp["ln_attn"], cfg.rms_norm_eps,
                          gemma=cfg.gemma_style_norm)
-            q, k, v = _lin_shared(
-                h, (lp["wq"], lp["wk"], lp["wv"]),
-                (lp.get("bq"), lp.get("bk"), lp.get("bv")))
+            if "wqkv" in w4:
+                from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+                qkv = w4a8_linear_stacked(h, w4["wqkv"], li)
+                nq, nk = H * Dh, Hkv * Dh
+                q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nk],
+                           qkv[:, nq + nk:])
+                if "bq" in lp:
+                    q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+            else:
+                q, k, v = _lin_shared(
+                    h, (lp["wq"], lp["wk"], lp["wv"]),
+                    (lp.get("bq"), lp.get("bk"), lp.get("bv")))
             q = q.reshape(BT, H, Dh)
             k = k.reshape(BT, Hkv, Dh)
             v = v.reshape(BT, Hkv, Dh)
@@ -322,22 +336,37 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
                     scale=scale, interpret=interp, n_seq=B, layer=li)
             attn = (attn.reshape(T, B, H, Dh).transpose(1, 0, 2, 3)
                     .reshape(BT, H * Dh))
-            attn = _lin(attn, lp["wo"])
+            if "wo" in w4:
+                from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+                attn = w4a8_linear_stacked(attn, w4["wo"], li)
+            else:
+                attn = _lin(attn, lp["wo"])
             if cfg.post_norms:
                 attn = rms_norm(attn, lp["ln_post_attn"], cfg.rms_norm_eps,
                                 gemma=cfg.gemma_style_norm)
             x = x + attn
             h2 = rms_norm(x, lp["ln_mlp"], cfg.rms_norm_eps,
                           gemma=cfg.gemma_style_norm)
-            gate, up = _lin_shared(h2, (lp["w_gate"], lp["w_up"]),
-                                   (None, None))
-            mlp = _lin(_act(gate, cfg.hidden_act) * up, lp["w_down"])
+            if "w_gateup" in w4:
+                from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+                gu = w4a8_linear_stacked(h2, w4["w_gateup"], li)
+                gate, up = jnp.split(gu, 2, axis=-1)
+            else:
+                gate, up = _lin_shared(h2, (lp["w_gate"], lp["w_up"]),
+                                       (None, None))
+            hidden = _act(gate, cfg.hidden_act) * up
+            if "w_down" in w4:
+                from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+                mlp = w4a8_linear_stacked(hidden, w4["w_down"], li)
+            else:
+                mlp = _lin(hidden, lp["w_down"])
             if cfg.post_norms:
                 mlp = rms_norm(mlp, lp["ln_post_mlp"], cfg.rms_norm_eps,
                                gemma=cfg.gemma_style_norm)
             return (x + mlp, kt_all, vt_all), None
 
-        xs = (params["layers"], jnp.arange(L, dtype=jnp.int32))
+        xs = ({k: v for k, v in params["layers"].items() if k not in w4},
+              jnp.arange(L, dtype=jnp.int32))
         (x, k_tail, v_tail), _ = jax.lax.scan(
             layer_fn, (x, k_tail, v_tail), xs)
         return x.reshape(B, T, -1), k_tail, v_tail

@@ -99,6 +99,27 @@ def test_batched_flat_matches_sequential():
         assert int(jax.device_get(st.cache.tail_len)) == 0
 
 
+def test_batched_flat_w4a8_matches_sequential():
+    """Fused-W4A8 weights through the merged batched decode (the stacked
+    weight dicts stay out of the layer scan; layer selected by scalar)."""
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg,
+                 dtype=jnp.float32, max_new_tokens=5, decode_budget=256,
+                 capacity_granularity=256, score_chunk_size=256,
+                 flat_decode="on", weight_quant="w4a8")
+    assert "wqkv" in eng.params["layers"]
+
+    states = [eng.prefill(c, prefill_chunk_size=300) for c in CTXS]
+    for st, r in zip(states, (0.5, 0.6)):
+        eng.prune(st, r, "pair")
+    queries = [eng.apply_template("What word is hidden?"),
+               eng.apply_template("Which number appears?")]
+    seq_out = [eng.generate(q, st) for q, st in zip(queries, states)]
+    bat_out = batched_generate(eng, queries, states, max_new_tokens=5)
+    assert bat_out == seq_out
+
+
 def test_continuous_batching_admission():
     """run_continuous: sequences retire mid-flight and queued requests are
     admitted into freed slots; outputs match sequential generation."""
