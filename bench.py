@@ -197,7 +197,8 @@ def main():
                 try:
                     proc = subprocess.run(
                         [sys.executable, os.path.abspath(__file__)],
-                        env=env, stdout=subprocess.PIPE, timeout=3300)
+                        env=env, stdout=subprocess.PIPE,
+                        timeout=cfg_i.get("timeout", 3300))
                     line = proc.stdout.decode().strip().splitlines()[-1]
                     out = json.loads(line)
                     break

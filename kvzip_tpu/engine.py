@@ -420,7 +420,25 @@ class Engine:
         while pos < prefill_len:
             n = min(prefill_chunk_size, prefill_len - pos)
             t0 = _time.time()
-            self._forward_chunks(prefill_ids[pos:pos + n], state)
+            if n < prefill_chunk_size and n % 256 and not self.config.is_hybrid:
+                # pad the final partial chunk to a 256 multiple: its ladder
+                # then decomposes into the standard {16384,4096,1024,256}
+                # shapes instead of compiling fresh 64/16/4/1-token forwards
+                # (several minutes of remote compile per cold 480k run). The
+                # pad rows land beyond the live lengths; rolling the
+                # counters back makes them invisible and the next append
+                # overwrites them (causal masking keeps them out of every
+                # real token's attention during the chunk itself).
+                p = _round_up(n, 256)
+                buf = np.zeros((p,), np.int32)
+                buf[:n] = prefill_ids[pos:pos + n]
+                self._forward_chunks(buf, state)
+                state.cache = dataclasses.replace(
+                    state.cache,
+                    lengths=state.cache.lengths - (p - n),
+                    seen=state.cache.seen - (p - n))
+            else:
+                self._forward_chunks(prefill_ids[pos:pos + n], state)
             pos += n
             self._sync(state)
             if progress:

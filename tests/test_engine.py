@@ -30,6 +30,33 @@ def retain_state():
     return eng, state
 
 
+def test_padded_tail_chunk_equals_exact():
+    """The final partial prefill chunk is padded to a 256 multiple (fewer
+    compile shapes) and the counters rolled back — cache contents over the
+    live rows, scores, and generations must equal an unpadded decomposition."""
+    eng_a = make_engine("retain")
+    # chunk 512: the tail (prefill_len % 512) goes through the padded path
+    st_a = eng_a.prefill(CTX, prefill_chunk_size=512)
+    eng_b = make_engine("retain", params=jax.tree.map(jnp.copy, eng_a.params),
+                        tokenizer=eng_a.tokenizer)
+    # chunk 256: every chunk is ladder-exact, no padding
+    st_b = eng_b.prefill(CTX, prefill_chunk_size=256)
+
+    assert int(jax.device_get(st_a.cache.seen)) == \
+        int(jax.device_get(st_b.cache.seen))
+    n = int(jax.device_get(st_a.cache.seen))
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st_a.cache.k))[:, :, :n],
+        np.asarray(jax.device_get(st_b.cache.k))[:, :, :n],
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(st_a.score)),
+        np.asarray(jax.device_get(st_b.score)), rtol=1e-4, atol=1e-4)
+
+    q = eng_a.apply_template("What is the passcode?")
+    assert eng_a.generate(q, st_a) == eng_b.generate(q, st_b)
+
+
 def test_scoring_shape_and_range(retain_state):
     eng, state = retain_state
     assert state.score is not None

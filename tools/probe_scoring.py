@@ -98,7 +98,10 @@ def main():
             log(f"forward T={T:5d} scoring={int(scoring)} F={f:6d}: "
                 f"{dt * 1e3:9.1f} ms")
 
-    # ---- attention kernel alone (28 layers' worth, same per-layer arrays)
+    # ---- attention kernel alone (28 layers' worth, same per-layer arrays),
+    # sweeping the KV trip size: 512-column trips leave only ~2 us of MXU
+    # work per DMA wait — suspected cause of scoring's ~29 TFLOP/s effective
+    # (vs the kernel's isolated 93 at the default block)
     for T in (16384, 2304):
         q = jnp.asarray(rng.standard_normal((T, H, Dh)), jnp.bfloat16)
         for f in fills:
@@ -109,16 +112,23 @@ def main():
             lens = jnp.full((Hkv,), f, jnp.int32)
             pos0 = jnp.asarray(f, jnp.int32)
 
-            f_att = jax.jit(lambda q, n=L: jax.lax.fori_loop(
-                0, n, lambda i, acc: acc + flash_attend_int4(
-                    q, kq, ks, kz, vq, vs, vz, lens, pos0,
-                    scale=Dh ** -0.5).astype(jnp.float32),
-                jnp.zeros((T, H, Dh), jnp.float32)))
-            np.asarray(jax.device_get(f_att(q)[0, 0, 0]))
-            t0 = time.time()
-            np.asarray(jax.device_get(f_att(q)[0, 0, 0]))
-            dt = time.time() - t0
-            log(f"attention x{L} T={T:5d} F={f:6d}: {dt * 1e3:9.1f} ms")
+            for bk in (512, 1024, 2048, 4096):
+                f_att = jax.jit(lambda q, n=L, bk=bk: jax.lax.fori_loop(
+                    0, n, lambda i, acc: acc + flash_attend_int4(
+                        q, kq, ks, kz, vq, vs, vz, lens, pos0,
+                        scale=Dh ** -0.5, block_k=bk).astype(jnp.float32),
+                    jnp.zeros((T, H, Dh), jnp.float32)))
+                try:
+                    np.asarray(jax.device_get(f_att(q)[0, 0, 0]))
+                    t0 = time.time()
+                    np.asarray(jax.device_get(f_att(q)[0, 0, 0]))
+                    dt = time.time() - t0
+                    fl = 4 * H * T * f * Dh * L
+                    log(f"attention x{L} T={T:5d} F={f:6d} BK={bk:5d}: "
+                        f"{dt * 1e3:9.1f} ms ({fl / dt / 1e12:.0f} TFLOP/s)")
+                except Exception as e:
+                    log(f"attention x{L} T={T:5d} F={f:6d} BK={bk:5d}: "
+                        f"FAILED {str(e)[:160]}")
 
 
 if __name__ == "__main__":
