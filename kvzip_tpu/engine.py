@@ -586,6 +586,21 @@ class Engine:
                     static_mask = jnp.asarray(m)
                 state.cache = set_retain_mask(state.cache, keep, state.sink,
                                               static_mask)
+        elif state.kv_type == "evict" and level == "head" \
+                and not self.config.is_hybrid:
+            # head-level keep is constant over the sequence (whole heads
+            # kept or dropped), so eviction is a LENGTHS update — zero data
+            # movement, zero extra memory. A flat build would also be
+            # useless here: r_pad = max per-layer kept rows, and some layer
+            # keeps all its heads, so the padded flat stack would be as big
+            # as the full cache (the 480k head demo OOMed exactly there).
+            # The ragged kernels read only [0, lengths) per head, so decode
+            # HBM traffic still shrinks to the kept rows.
+            state.score = None
+            head_keep = keep.any(axis=-1)                       # (L, H)
+            new_len = jnp.where(head_keep, state.cache.lengths,
+                                jnp.int32(state.sink))
+            state.cache = dataclasses.replace(state.cache, lengths=new_len)
         elif state.kv_type == "evict":
             # one-shot path: the score buffer is dead once keep is computed —
             # free it before the compaction gather (216 MB at 480k ctx)

@@ -306,8 +306,12 @@ def forward(
                     layer=layer_idx)
         elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
+            # T >= 1: decode steps against a dense int4 cache (the
+            # zero-copy head-level eviction keeps the dense layout) run the
+            # same kernel — bandwidth-bound at small T, and the jnp
+            # fallback's whole-cache dequant is unusable at long context
             use_kernel = (attn_impl in ("flash", "flash_q8", "flash_interpret")
-                          and T > 8 and ks_a.shape[-1] == 1
+                          and ks_a.shape[-1] == 1
                           and Dh % 128 == 0 and windows is None)
             if use_kernel:
                 # int4 flash: NN matmuls against raw nibbles (K transposed)

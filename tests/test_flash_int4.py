@@ -9,7 +9,8 @@ from kvzip_tpu.ops.flash_int4 import flash_attend_int4
 from kvzip_tpu.ops.quant import quantize_int4
 
 
-@pytest.mark.parametrize("T,base", [(16, 24), (32, 0), (16, 100)])
+@pytest.mark.parametrize("T,base", [(16, 24), (32, 0), (16, 100),
+                                    (1, 40), (4, 64)])
 def test_flash_int4_matches_blockwise(T, base):
     rng = np.random.default_rng(0)
     Hkv, G, D, C = 2, 2, 128, 128

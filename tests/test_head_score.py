@@ -56,6 +56,41 @@ def test_head_level_prune_drops_whole_heads(tmp_path):
     assert 0.3 < kept_frac < 0.9
 
 
+def test_head_evict_zero_copy_matches_retain(tmp_path):
+    """Head-level evict is a zero-copy lengths update (no gather, no flat
+    build — VERDICT r3: the 480k head demo OOMed in the flat build whose
+    r_pad is useless padding at head granularity). Generations must equal
+    the retain-masked head prune on the same scores."""
+    cfg = tiny_config("llama")
+    eng_e = Engine("tiny-llama", kv_type="evict", config=cfg,
+                   dtype=jnp.float32, max_new_tokens=6, decode_budget=256,
+                   capacity_granularity=256, score_chunk_size=256)
+    st = eng_e.prefill(CTX, prefill_chunk_size=300)
+    prune_lib.save_head_score(st.score, eng_e.name, "unit", 0,
+                              out_dir=str(tmp_path))
+
+    st_e = eng_e.prefill(CTX, prefill_chunk_size=300, load_score=True,
+                         head_score_dirs=[str(tmp_path)])
+    eng_r = Engine("tiny-llama", kv_type="retain", config=cfg,
+                   dtype=jnp.float32,
+                   params=jax.tree.map(jnp.copy, eng_e.params),
+                   tokenizer=eng_e.tokenizer, max_new_tokens=6,
+                   decode_budget=256, capacity_granularity=256,
+                   score_chunk_size=256)
+    st_r = eng_r.prefill(CTX, prefill_chunk_size=300, load_score=True,
+                         head_score_dirs=[str(tmp_path)])
+
+    full_live = st_e.used_gb()
+    eng_e.prune(st_e, 0.6, "head")
+    eng_r.prune(st_r, 0.6, "head")
+    # zero-copy: same cache class (no flat build), live bytes shrank
+    assert type(st_e.cache).__name__ == "KVCache"
+    assert st_e.used_gb() < full_live
+
+    q = eng_e.apply_template("What is the passcode?")
+    assert eng_e.generate(q, st_e) == eng_r.generate(q, st_r)
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/reference/utils/head_score"),
     reason="reference assets not mounted")
