@@ -301,6 +301,20 @@ def cmd_demo(args):
               f"{ms_full / max(ms_pruned, 1e-9):.2f}x decode speedup "
               f"(reference demo.png: 27.5->8.2 GB, 49.0->24.1 ms/token)",
               flush=True)
+        # machine-readable artifact line (archived under bench_results/)
+        print(json.dumps({
+            "demo": {
+                "model": args.model, "mode": args.mode, "ratio": ratio,
+                "ctx_tokens": int(args.ctx_tokens or 0),
+                "kv_quant": args.kv_quant, "weight_quant": args.weight_quant,
+                "embed_quant": getattr(args, "embed_quant", "none"),
+                "full_gb_dense": full_gb, "full_gb_flat": full_flat_gb,
+                "pruned_gb": pruned_gb,
+                "ms_tok_full": round(ms_full, 2),
+                "ms_tok_pruned": round(ms_pruned, 2),
+                "kv_reduction": round(full_gb / max(pruned_gb, 1e-9), 3),
+                "decode_speedup": round(ms_full / max(ms_pruned, 1e-9), 3),
+            }}), flush=True)
 
 
 def parse_answer_supplement(name: str):
