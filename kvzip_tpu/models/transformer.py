@@ -215,9 +215,17 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         # -- cache append (O(T), in-place on donated buffers) --
+        # EXCEPT in int4 scoring: the scoring forward is a PURE READ of the
+        # cache. Appending the repeat window produced a cache output whose
+        # layout XLA could not alias to the donated input ("donated buffers
+        # were not usable"), silently copying the full multi-GB cache every
+        # scoring chunk (~14 s/chunk at 7B/480k). The chunk's own K/V ride
+        # into the attention kernel as VMEM inputs instead.
+        readonly = scoring and is_int4
         layer_store = tuple(a[layer_idx] for a in store)
         if is_int4:
-            layer_store = append_layer_int4(layer_store, base_lens, k, v)
+            if not readonly:
+                layer_store = append_layer_int4(layer_store, base_lens, k, v)
         elif is_flat:
             # uniform tail append at tail_len (all heads advance together)
             kt = jax.lax.dynamic_update_slice(
@@ -228,7 +236,9 @@ def forward(
         else:
             layer_store = append_layer(layer_store[0], layer_store[1],
                                        base_lens, k, v)
-        store = [a.at[layer_idx].set(s) for a, s in zip(store, layer_store)]
+        if not readonly:
+            store = [a.at[layer_idx].set(s)
+                     for a, s in zip(store, layer_store)]
 
         # -- KVzip reconstruction scoring hook (attn.py:53-54) --
         if scoring:
@@ -252,9 +262,11 @@ def forward(
                     pack="split")
                 # repeat-window keys go through the same quantization the
                 # cache stores (reference scores on dequantized keys,
-                # quant attn.py:55-57)
+                # quant attn.py:55-57); the quantized forms also feed the
+                # read-only attention as extra VMEM rows
                 from kvzip_tpu.ops.quant import quantize_int4
                 kq_r, ks_r, kz_r = quantize_int4(k, pack="split")
+                vq_r, vs_r, vz_r = quantize_int4(v, pack="split")
                 k_rep = dequantize_int4(kq_r, ks_r, kz_r, dtype, pack="split")
             else:
                 k_cache = layer_store[0]
@@ -313,7 +325,23 @@ def forward(
             use_kernel = (attn_impl in ("flash", "flash_q8", "flash_interpret")
                           and ks_a.shape[-1] == 1
                           and Dh % 128 == 0 and windows is None)
-            if use_kernel:
+            if use_kernel and readonly:
+                # read-only scoring: cache rows stream as usual, the
+                # chunk's own quantized K/V arrive as VMEM extras
+                from kvzip_tpu.ops.flash_int4 import flash_attend_int4_extra
+                attn_out = flash_attend_int4_extra(
+                    q, kq_a, ks_a[..., 0], kz_a[..., 0], vq_a,
+                    vs_a[..., 0], vz_a[..., 0], base_lens,
+                    kq_r, ks_r, kz_r, vq_r, vs_r, vz_r, scale=scale,
+                    interpret=(attn_impl == "flash_interpret"))
+            elif readonly:
+                # jnp fallback (CPU tests): local append, no carry write
+                tmp = append_layer_int4(layer_store, base_lens, k, v)
+                attn_out = attn_ops.attend_blockwise_int4(
+                    q, jnp.swapaxes(tmp[0], 1, 2), tmp[2], tmp[3],
+                    jnp.swapaxes(tmp[1], 1, 2), tmp[4], tmp[5], base_lens,
+                    valid_l, scale=scale, q_pos0=q_pos0, window=win)
+            elif use_kernel:
                 # int4 flash: NN matmuls against raw nibbles (K transposed)
                 from kvzip_tpu.ops.flash_int4 import flash_attend_int4
                 attn_out = flash_attend_int4(
@@ -403,6 +431,9 @@ def forward(
             cache, k_tail=cache_arrays[0], v_tail=cache_arrays[1],
             tail_len=cache.tail_len + jnp.int32(T),
             seen=cache.seen + jnp.int32(T))
+    elif is_int4 and scoring:
+        # read-only scoring: nothing was appended, counters unchanged
+        new_cache = cache
     elif is_int4:
         new_cache = dataclasses.replace(
             cache, k_q=cache_arrays[0], v_q=cache_arrays[1],

@@ -164,6 +164,121 @@ def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
     o_ref[0] = out.reshape(G, BQ, D).astype(dtype)
 
 
+def _kernel_extra(lens_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
+                  kx_ref, kxsz_ref, vx_ref, vxsz_ref,
+                  o_ref, kq_buf, ksz_buf, vq_buf, vsz_buf, sem,
+                  m_scr, l_scr, acc_scr,
+                  *, block_q: int, block_k: int, block_x: int, dtype):
+    """READ-ONLY scoring variant: the cache rows [0, len) stream from HBM as
+    in :func:`_kernel`, and the current chunk's own (quantized) K/V arrive
+    as VMEM inputs — nothing is appended to the cache, so the scoring
+    forward never writes (or copies) the multi-GB cache arrays. Same math
+    as attending an appended cache: cache rows are fully visible, the
+    chunk's rows causally."""
+    h = pl.program_id(0)
+    qb = pl.program_id(1)
+    G = q_ref.shape[1]
+    BQ = block_q
+    BK = block_k
+    D = q_ref.shape[3]
+    rows = G * BQ
+    Tx = kx_ref.shape[2]
+
+    base = lens_ref[h]
+    nb = pl.cdiv(base, BK)           # cache trips only (nothing appended)
+
+    q = q_ref[0].reshape(rows, D)
+    qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+    q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
+    q_lo = q[:, D // 2:] - q_hi
+
+    m_scr[...] = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l_scr[...] = jnp.zeros((rows, 1), jnp.float32)
+    acc_scr[...] = jnp.zeros((rows, D), jnp.float32)
+
+    def dma(b, slot):
+        return [pltpu.make_async_copy(
+            src.at[h, :, pl.ds(b * BK, BK)], buf.at[slot], sem.at[slot, i])
+            for i, (src, buf) in enumerate(
+                ((kq_hbm, kq_buf), (ksz_hbm, ksz_buf),
+                 (vq_hbm, vq_buf), (vsz_hbm, vsz_buf)))]
+
+    @pl.when(nb > 0)
+    def _():
+        for d in dma(0, 0):
+            d.start()
+
+    col_local = jax.lax.broadcasted_iota(jnp.int32, (rows, BK), 1)
+
+    def online(s, v_packed, v_sz):
+        """One online-softmax update from a score tile + packed V."""
+        m_prev = m_scr[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        vpi = v_packed.astype(jnp.int32)
+        vB = vpi.astype(jnp.float32)
+        vLO = (vpi & 0xF).astype(jnp.float32)
+        ps = p * v_sz[0:1]
+        pz = jnp.sum(p * v_sz[1:2], axis=1, keepdims=True)
+        m1 = jax.lax.dot_general(ps, vB, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        m2 = jax.lax.dot_general(ps, vLO, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
+        acc_scr[...] = acc_scr[...] * alpha + pz + upd
+        m_scr[...] = m_new
+
+    def body(b, _):
+        slot = b % 2
+        nxt = (b + 1) % 2
+
+        @pl.when(b + 1 < nb)
+        def _():
+            for d in dma(b + 1, nxt):
+                d.start()
+
+        for d in dma(b, slot):
+            d.wait()
+
+        kpi = kq_buf[slot].astype(jnp.int32)
+        kB = kpi.astype(q.dtype)
+        kLO = (kpi & 0xF).astype(q.dtype)
+        qn = (jax.lax.dot_general(q_hi, kB, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(q_lo, kLO, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+        s = qn * ksz_buf[slot, 0:1] + qsum * ksz_buf[slot, 1:2]
+        # cache rows all precede the chunk: visible iff live
+        s = jnp.where(col_local + b * BK < base, s, NEG_INF)
+        online(s, vq_buf[slot], vsz_buf[slot])
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+    # ---- the chunk's own rows (VMEM inputs), causal within the chunk
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (rows, block_x), 0) % BQ
+    col_x = jax.lax.broadcasted_iota(jnp.int32, (rows, block_x), 1)
+    for xb in range(Tx // block_x):
+        kpi = kx_ref[0, :, xb * block_x:(xb + 1) * block_x].astype(jnp.int32)
+        kB = kpi.astype(q.dtype)
+        kLO = (kpi & 0xF).astype(q.dtype)
+        qn = (jax.lax.dot_general(q_hi, kB, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(q_lo, kLO, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32))
+        ksz = kxsz_ref[0, :, xb * block_x:(xb + 1) * block_x]
+        s = qn * ksz[0:1] + qsum * ksz[1:2]
+        mask = col_x + xb * block_x < qb * BQ + row_q + 1
+        s = jnp.where(mask, s, NEG_INF)
+        online(s, vx_ref[0, :, xb * block_x:(xb + 1) * block_x],
+               vxsz_ref[0, :, xb * block_x:(xb + 1) * block_x])
+
+    out = acc_scr[...] / jnp.maximum(l_scr[...], 1e-37)
+    o_ref[0] = out.reshape(G, BQ, D).astype(dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_q", "block_k", "interpret"))
@@ -236,5 +351,103 @@ def flash_attend_int4(
         interpret=interpret,
     )(base_lens.astype(jnp.int32), q_pos0.astype(jnp.int32)[None], qg,
       k_q, k_sz, v_q, v_sz)
+
+    return out.transpose(2, 0, 1, 3).reshape(T, H, D)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "block_x", "interpret"))
+def flash_attend_int4_extra(
+    q: jax.Array,            # (T, H, D)
+    k_q: jax.Array,          # (Hkv, D//2, C) uint8 split-packed TRANSPOSED
+    k_s: jax.Array,          # (Hkv, C)
+    k_z: jax.Array,
+    v_q: jax.Array,
+    v_s: jax.Array,
+    v_z: jax.Array,
+    base_lens: jax.Array,    # (Hkv,) int32 — live cache rows (nothing appended)
+    kx_q: jax.Array,         # (T, Hkv, D//2) uint8 — the chunk's own K, packed
+    kx_s: jax.Array,         # (T, Hkv, 1)
+    kx_z: jax.Array,
+    vx_q: jax.Array,
+    vx_s: jax.Array,
+    vx_z: jax.Array,
+    *,
+    scale: float,
+    block_q: int = 256,
+    block_k: int = 512,
+    block_x: int = 768,
+    interpret: bool = False,
+) -> jax.Array:
+    """READ-ONLY scoring attention: cache rows [0, base) + the chunk's own
+    quantized K/V as VMEM inputs (causal within the chunk). Identical math
+    to appending the chunk then calling :func:`flash_attend_int4`, without
+    ever writing the cache — the scoring forward's cache append defeated
+    XLA donation and copied the full multi-GB cache every chunk."""
+    T, H, D = q.shape
+    Hkv, _, C = v_q.shape
+    G = H // Hkv
+
+    BQ = min(block_q, T)
+    while T % BQ:
+        BQ //= 2
+    BK = block_k
+    while C % BK:
+        BK //= 2
+    BX = min(block_x, T)
+    while T % BX:
+        BX //= 2
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
+    k_sz = jnp.stack([k_s, k_z], axis=1).astype(jnp.float32) * scale
+    v_sz = jnp.stack([v_s, v_z], axis=1).astype(jnp.float32)
+    # extras to the cache layouts: (Hkv, D//2, T) nibbles, (Hkv, 2, T) sz
+    kx = kx_q.transpose(1, 2, 0)
+    vx = vx_q.transpose(1, 2, 0)
+    kx_sz = jnp.stack([kx_s[..., 0], kx_z[..., 0]],
+                      axis=1).astype(jnp.float32).transpose(1, 2, 0) * scale
+    vx_sz = jnp.stack([vx_s[..., 0], vx_z[..., 0]],
+                      axis=1).astype(jnp.float32).transpose(1, 2, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Hkv, T // BQ),
+        in_specs=[
+            pl.BlockSpec((1, G, BQ, D), lambda h, qb, l: (h, 0, qb, 0)),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((1, D // 2, T), lambda h, qb, l: (h, 0, 0)),
+            pl.BlockSpec((1, 2, T), lambda h, qb, l: (h, 0, 0)),
+            pl.BlockSpec((1, D // 2, T), lambda h, qb, l: (h, 0, 0)),
+            pl.BlockSpec((1, 2, T), lambda h, qb, l: (h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, G, BQ, D), lambda h, qb, l: (h, 0, qb, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, D // 2, BK), jnp.uint8),
+            pltpu.VMEM((2, 2, BK), jnp.float32),
+            pltpu.VMEM((2, D // 2, BK), jnp.uint8),
+            pltpu.VMEM((2, 2, BK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.VMEM((G * BQ, 1), jnp.float32),
+            pltpu.VMEM((G * BQ, 1), jnp.float32),
+            pltpu.VMEM((G * BQ, D), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_extra, block_q=BQ, block_k=BK, block_x=BX, dtype=q.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Hkv, G, T, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20,
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(base_lens.astype(jnp.int32), qg, k_q, k_sz, v_q, v_sz,
+      kx, kx_sz, vx, vx_sz)
 
     return out.transpose(2, 0, 1, 3).reshape(T, H, D)

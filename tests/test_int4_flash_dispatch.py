@@ -31,3 +31,30 @@ def test_int4_flash_prefill_matches_blockwise():
     p_k = eng_k.prob(q, st_k)
     p_b = eng_b.prob(q, st_b)
     np.testing.assert_allclose(p_k, p_b, atol=3e-3, rtol=0)
+
+
+def test_int4_readonly_scoring_matches_fallback():
+    """Read-only scoring (kernel with VMEM extras, nothing appended) ==
+    the local-append jnp fallback == pre-change append semantics; and the
+    cache is untouched by scoring (counters identical)."""
+    eng_k = build("flash_interpret")
+    eng_b = build("blockwise")
+
+    st_k = eng_k.prefill(CTX, prefill_chunk_size=300, do_score=False)
+    seen0 = int(jax.device_get(st_k.cache.seen))
+    eng_k.scoring(st_k, st_k.ctx_ids)
+    assert int(jax.device_get(st_k.cache.seen)) == seen0
+    assert int(jax.device_get(st_k.cache.lengths.max())) == seen0
+
+    st_b = eng_b.prefill(CTX, prefill_chunk_size=300, do_score=False)
+    eng_b.scoring(st_b, st_b.ctx_ids)
+
+    s_k = np.asarray(jax.device_get(st_k.score))
+    s_b = np.asarray(jax.device_get(st_b.score))
+    np.testing.assert_allclose(s_k, s_b, atol=3e-3, rtol=0)
+
+    # the pipeline continues identically after read-only scoring
+    eng_k.prune(st_k, 0.5, "pair")
+    eng_b.prune(st_b, 0.5, "pair")
+    q = eng_k.apply_template("What repeats?")
+    assert eng_k.generate(q, st_k) == eng_b.generate(q, st_b)
