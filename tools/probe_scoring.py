@@ -45,14 +45,18 @@ def log(msg):
 
 def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "qwen2.5-7b"
-    capacity = int(sys.argv[2]) if len(sys.argv) > 2 else 294912 + 4096
+    # default capacity matches the 480k demo/bench runs so every forward
+    # compile hits the persistent jit cache
+    capacity = int(sys.argv[2]) if len(sys.argv) > 2 else 482816
     cfg = resolve_config(model)
     L, Hkv, Dh, H = (cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
                      cfg.num_heads)
 
     t0 = time.time()
+    # w4a8 + int8 embed: the exact 480k demo/bench configuration (compile
+    # cache reuse for the non-scoring forwards)
     params, _ = params_lib.prepare_params(
-        cfg, model, dtype=jnp.bfloat16, weight_quant="w8a8",
+        cfg, model, dtype=jnp.bfloat16, weight_quant="w4a8",
         embed_quant="int8")
     jax.block_until_ready(jax.tree.leaves(params)[0])
     log(f"params ready in {time.time() - t0:.1f}s")
