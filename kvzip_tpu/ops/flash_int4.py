@@ -405,10 +405,13 @@ def flash_attend_int4_extra(
     # extras to the cache layouts: (Hkv, D//2, T) nibbles, (Hkv, 2, T) sz
     kx = kx_q.transpose(1, 2, 0)
     vx = vx_q.transpose(1, 2, 0)
+    # (T, 2, Hkv) -> (Hkv, 2, T): heads lead (the kernel indexes blocks by
+    # head); axes (2, 1, 0), NOT (1, 2, 0) — with Hkv == 2 the wrong perm
+    # produces the same SHAPE and silently swaps scale/zero across heads
     kx_sz = jnp.stack([kx_s[..., 0], kx_z[..., 0]],
-                      axis=1).astype(jnp.float32).transpose(1, 2, 0) * scale
+                      axis=1).astype(jnp.float32).transpose(2, 1, 0) * scale
     vx_sz = jnp.stack([vx_s[..., 0], vx_z[..., 0]],
-                      axis=1).astype(jnp.float32).transpose(1, 2, 0)
+                      axis=1).astype(jnp.float32).transpose(2, 1, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

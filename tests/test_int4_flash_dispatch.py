@@ -12,7 +12,10 @@ CTX = "Dispatch check context sentence repeated for length. " * 40
 
 
 def build(attn_impl):
-    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+    # num_kv_heads=4, NOT 2: the scoring-extras scale stack is (Hkv, 2, T);
+    # with Hkv == 2 a transposed (2, Hkv, T) layout has the same shape and
+    # a layout bug passes silently (it shipped — caught on chip at Hkv=4)
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=4,
                       hidden_size=128)
     return Engine("tiny-llama", kv_type="evict", config=cfg,
                   dtype=jnp.float32, max_new_tokens=4, decode_budget=256,
