@@ -51,20 +51,22 @@ def main():
         q = jnp.asarray(rng.standard_normal((T, H, Dh)), jnp.bfloat16)
         pos0 = jnp.asarray(480160, jnp.int32)
 
-        f = jax.jit(lambda q, n=L: jax.lax.fori_loop(
-            0, n, lambda i, acc: acc + flash_attend_int4(
-                q, kq, ks, kz, vq, ks, kz, lens, pos0,
-                scale=Dh ** -0.5).astype(jnp.float32),
-            jnp.zeros((T, H, Dh), jnp.float32)))
-        try:
-            np.asarray(jax.device_get(f(q)[0, 0, 0]))
-            t0 = time.time()
-            np.asarray(jax.device_get(f(q)[0, 0, 0]))
-            dt = time.time() - t0
-            log(f"T={T:3d}: {dt * 1e3:8.2f} ms per {L}-layer pass "
-                f"({live_gb / dt:.0f} GB/s live-KV read)")
-        except Exception as e:
-            log(f"T={T:3d}: FAILED {type(e).__name__}: {str(e)[:300]}")
+        for bk in (512, 2048, 4096, 8192):
+            f = jax.jit(lambda q, n=L, bk=bk: jax.lax.fori_loop(
+                0, n, lambda i, acc: acc + flash_attend_int4(
+                    q, kq, ks, kz, vq, ks, kz, lens, pos0,
+                    scale=Dh ** -0.5, block_k=bk).astype(jnp.float32),
+                jnp.zeros((T, H, Dh), jnp.float32)))
+            try:
+                np.asarray(jax.device_get(f(q)[0, 0, 0]))
+                t0 = time.time()
+                np.asarray(jax.device_get(f(q)[0, 0, 0]))
+                dt = time.time() - t0
+                log(f"T={T:3d} BK={bk:5d}: {dt * 1e3:8.2f} ms per {L}-layer "
+                    f"pass ({live_gb / dt:.0f} GB/s live-KV read)")
+            except Exception as e:
+                log(f"T={T:3d} BK={bk:5d}: FAILED {type(e).__name__}: "
+                    f"{str(e)[:200]}")
 
 
 if __name__ == "__main__":
