@@ -375,7 +375,12 @@ def flash_attend_int4_extra(
     vx_z: jax.Array,
     *,
     scale: float,
-    block_q: int = 256,
+    # 576 q rows (G*BQ = 4032 packed rows at 7B): chip-swept optimum —
+    # +4% over 256 (fewer KV re-streams); >= 768 fails to compile (VMEM).
+    # Scoring attention is COMPUTE-bound at ~67-69 TFLOP/s on this shape
+    # (block_k 512 vs 2048 measured identical), bench_results/
+    # probe_scoring_bq.log
+    block_q: int = 576,
     block_k: int = 512,
     block_x: int = 768,
     interpret: bool = False,
