@@ -272,13 +272,16 @@ def cmd_demo(args):
     if getattr(args, "baseline", False) and args.mode in ("kvzip",
                                                           "kvzip_head"):
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
         pruned_gb = state.used_gb()
         ms_pruned = _timed_ms_tok(state, f"{args.mode}@{ratio}")
         # free the evicted cache first: full-flat + evicted + weights exceed
         # 16 GB at long contexts (bench.py does the same)
-        is_flat = isinstance(state.cache, (FlatKV, FlatInt4KV))
-        flat_int4 = isinstance(state.cache, FlatInt4KV)
+        is_pool = isinstance(state.cache, (PoolKV, PoolInt4KV))
+        is_flat = isinstance(state.cache,
+                             (FlatKV, FlatInt4KV)) or is_pool
+        flat_int4 = isinstance(state.cache, (FlatInt4KV, PoolInt4KV))
         tail_cap = (state.cache.k_tail.shape[2] if is_flat
                     else engine.decode_budget)
         import gc
@@ -286,8 +289,16 @@ def cmd_demo(args):
         state._snap = None
         gc.collect()
         try:
-            state_full = engine.synthetic_full_flat_state(state, flat_int4,
-                                                          tail_cap)
+            if is_pool:
+                # head level prunes into the pool too now, so the honest
+                # same-run full-cache baseline exists for BOTH modes
+                # (round 3's head demo OOMed building a full flat stack
+                # beside the resident dense cache; VERDICT r3 item 4)
+                state_full = engine.synthetic_full_pool_state(
+                    state, flat_int4, tail_cap)
+            else:
+                state_full = engine.synthetic_full_flat_state(
+                    state, flat_int4, tail_cap)
             ms_full = _timed_ms_tok(state_full, "full-cache")
         except Exception as e:
             # e.g. zero-copy head eviction keeps the dense cache resident;

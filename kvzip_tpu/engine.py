@@ -137,7 +137,7 @@ class Engine:
         kv_quant: str = "none",      # "none" | "int4"
         weight_quant: str = "none",  # "none" | "w8a8" | "w4a8"
         embed_quant: str = "none",   # "none" | "int8" (embed + lm_head)
-        flat_decode: str = "auto",   # "auto" | "on" | "off"
+        flat_decode: str = "auto",   # "auto"|"on"|"off"|"legacy" (r3 layout)
         attn_quant: str = "none",    # "none" | "int8" (flat-decode s8 dots)
         mesh=None,
         seq_parallel: bool = False,  # ring-attention prefill over mesh "data"
@@ -221,27 +221,40 @@ class Engine:
         return forward
 
     def _use_flat(self, state: "KVState") -> bool:
-        """Build the flat decode cache at prune time? (evict path; bf16 or
-        int4-with-one-group-per-row KV; 128-aligned head_dim)."""
+        """Build the flat/pool decode cache at prune time? (evict path;
+        bf16 or int4-with-one-group-per-row KV; 128-aligned head_dim).
+        ``flat_decode="legacy"`` forces the round-3 uniform-r_pad layout."""
         if self.flat_decode == "off":
             return False
         if self.kv_quant == "int4" and self.config.head_dim != 128:
             return False  # int4 flat kernel needs one quant group per row
-        if self.flat_decode == "on":
+        if self.flat_decode in ("on", "legacy"):
             return True
         return (self.mesh is None and self.config.head_dim % 128 == 0
                 and jax.default_backend() != "cpu")
 
+    def _pool_align(self, state: "KVState") -> int:
+        """Pool segment alignment: block granularity of the decode kernel.
+        Large contexts need 32k blocks to beat the ~2-4 us per-grid-step
+        floor; small (test) caches keep the padding slack tiny."""
+        rows = self.config.num_kv_heads * (state.ctx_len + state.sink)
+        if rows <= 4096:
+            return 128
+        if rows <= 65536:
+            return 8192
+        return 32768
+
     def _impl(self, state: "KVState") -> str:
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
-        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
+        if isinstance(state.cache, (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)):
             if jax.default_backend() == "cpu":
                 return "flash_interpret"
             # opt-in int8 attention: s8 dots on the packed int4 context
             # (~1.5x the bf16 nibble path; ~8-bit rounding of logits/probs)
             if (self.attn_quant == "int8"
-                    and isinstance(state.cache, FlatInt4KV)):
+                    and isinstance(state.cache, (FlatInt4KV, PoolInt4KV))):
                 return "flash_q8"
             return "flash"
         # Pallas flash whenever the shape allows (no retain-mask needed,
@@ -261,9 +274,10 @@ class Engine:
         """Fail loudly instead of letting a clamped dynamic_update_slice
         silently corrupt the cache tail."""
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
         cache = state.cache
-        if isinstance(cache, (FlatKV, FlatInt4KV)):
+        if isinstance(cache, (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)):
             cap = cache.k_tail.shape[2]
             cur = int(jax.device_get(cache.tail_len))
             if cur + need > cap:
@@ -284,8 +298,17 @@ class Engine:
         flattened cache every ``slice``, `attention/kvcache.py:82-106`; here
         it happens only when the tail is about to overflow)."""
         from kvzip_tpu.cache import FlatInt4KV, FlatKV, refold_flat
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV, refold_pool
 
         cache = state.cache
+        if isinstance(cache, (PoolKV, PoolInt4KV)):
+            cap = cache.k_tail.shape[2]
+            cur = int(jax.device_get(cache.tail_len))
+            if cur + need <= cap:
+                return
+            state.cache = refold_pool(cache)
+            state.snapshot()
+            return
         if not isinstance(cache, (FlatKV, FlatInt4KV)):
             return
         cap = cache.k_tail.shape[2]
@@ -349,9 +372,11 @@ class Engine:
         """Run ids through the model on the chunk ladder; maybe return logits."""
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
 
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
+
         impl = self._impl(state)
         ladder = CHUNK_LADDER
-        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
+        if isinstance(state.cache, (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)):
             ladder = (64, 16, 4, 1)  # flat kernels keep q rows in VMEM
         logits_parts = []
         pos = 0
@@ -541,6 +566,7 @@ class Engine:
         `kvcache.py:123-185`).
         """
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
         # checked BEFORE the score assertion: the evict path frees the score
         # buffer during prune, so a re-prune would otherwise hit the wrong
@@ -549,7 +575,8 @@ class Engine:
         # self.pruned (`attention/kvcache.py:123-185`); ratio sweeps use
         # kv_type="retain" there too. A second compact here would apply an
         # original-position mask to already-moved rows — silently wrong.
-        if isinstance(state.cache, (FlatKV, FlatInt4KV)) or (
+        if isinstance(state.cache,
+                      (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)) or (
                 state.kv_type == "evict" and state.pruned):
             raise RuntimeError(
                 "evict-path prune is one-shot (the cache was physically "
@@ -587,15 +614,16 @@ class Engine:
                 state.cache = set_retain_mask(state.cache, keep, state.sink,
                                               static_mask)
         elif state.kv_type == "evict" and level == "head" \
-                and not self.config.is_hybrid:
+                and not self.config.is_hybrid and not self._use_flat(state):
             # head-level keep is constant over the sequence (whole heads
-            # kept or dropped), so eviction is a LENGTHS update — zero data
-            # movement, zero extra memory. A flat build would also be
-            # useless here: r_pad = max per-layer kept rows, and some layer
-            # keeps all its heads, so the padded flat stack would be as big
-            # as the full cache (the 480k head demo OOMed exactly there).
-            # The ragged kernels read only [0, lengths) per head, so decode
-            # HBM traffic still shrinks to the kept rows.
+            # kept or dropped), so when no flat/pool layout applies (CPU
+            # fallback, sharded cache) eviction is a LENGTHS update — zero
+            # data movement. The ragged kernels read only [0, lengths) per
+            # head. On the pool path (below) head level compacts like pair
+            # level: the pool's per-layer offsets give true memory shrink
+            # AND the fast pipelined kernel (round-3's uniform-r_pad flat
+            # stack degenerated to full capacity at head granularity and
+            # decoded 3x SLOWER than the full cache).
             state.score = None
             head_keep = keep.any(axis=-1)                       # (L, H)
             new_len = jnp.where(head_keep, state.cache.lengths,
@@ -605,24 +633,18 @@ class Engine:
             # one-shot path: the score buffer is dead once keep is computed —
             # free it before the compaction gather (216 MB at 480k ctx)
             state.score = None
-            if self._use_flat(state):
-                # flat decode layout: HBM reads = true compressed footprint.
-                # donated builds: the dense cache dies here, freeing each
-                # array as its gather completes (480k does not fit otherwise)
+            if self._use_flat(state) and self.flat_decode == "legacy":
+                # round-3 uniform-r_pad flat layout (kept for the merged
+                # batched-serving path and A/B probes)
                 from kvzip_tpu.cache import (Int4KVCache,
                                              build_flat_donated,
                                              build_flat_int4_stepped)
 
                 per_layer = np.asarray(jax.device_get(keep.sum(axis=(1, 2))))
-                # 8192 granularity: lets the flat kernels run 8192-row blocks
-                # (fewer grid steps against the 2-4 us/step floor) and buckets
-                # r_pad coarsely so prune() recompiles less across ctx lengths
                 r_pad = _round_flat_rows(
                     int(per_layer.max())
                     + state.sink * self.config.num_kv_heads)
                 if isinstance(state.cache, Int4KVCache):
-                    # stepped: consumes the dense cache array-by-array so
-                    # dense + flat never fully coexist (320k+ ctx on 16 GB)
                     state.cache = build_flat_int4_stepped(
                         state.cache, keep, state.sink, r_pad,
                         self.decode_budget, self.dtype)
@@ -630,6 +652,25 @@ class Engine:
                     state.cache = build_flat_donated(
                         state.cache, keep, state.sink, r_pad,
                         self.decode_budget)
+            elif self._use_flat(state):
+                # POOL decode layout: every layer's kept rows concatenated
+                # with per-layer offsets — HBM reads = the true compressed
+                # footprint at ANY per-layer spread (pair AND head levels).
+                # Stepped donated builds: the dense cache dies here, array
+                # by array (480k does not fit otherwise).
+                from kvzip_tpu.cache import Int4KVCache
+                from kvzip_tpu.pool import (build_pool_int4_stepped,
+                                            build_pool_stepped)
+
+                align = self._pool_align(state)
+                if isinstance(state.cache, Int4KVCache):
+                    state.cache = build_pool_int4_stepped(
+                        state.cache, keep, state.sink, self.decode_budget,
+                        self.dtype, align=align)
+                else:
+                    state.cache = build_pool_stepped(
+                        state.cache, keep, state.sink, self.decode_budget,
+                        align=align)
             else:
                 kept_rows = int(jax.device_get(
                     keep.sum(axis=-1).max())) + state.sink
@@ -654,8 +695,9 @@ class Engine:
         """
         from kvzip_tpu.cache import (FlatInt4KV, FlatKV, Int4KVCache,
                                      build_flat, build_flat_int4)
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
-        if isinstance(state.cache, (FlatKV, FlatInt4KV)):
+        if isinstance(state.cache, (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)):
             raise RuntimeError("cache is already flat")
         L, H = self.config.num_layers, self.config.num_kv_heads
         keep = jnp.ones((L, H, state.ctx_len), bool)
@@ -720,6 +762,83 @@ class Engine:
         st.snapshot()
         return st
 
+    def synthetic_full_pool_state(self, state: KVState, int4: bool,
+                                  tail_cap: int) -> KVState:
+        """Full-occupancy POOL with the exact geometry an all-rows-kept
+        build produces — the honest full-cache decode baseline measured in
+        the same run, after the dense cache has been donated into the
+        pruned pool (decode time is value-independent on TPU; reference
+        demo compares both modes against a same-run baseline,
+        `demo.py:29-50`)."""
+        from kvzip_tpu.pool import synthetic_full_pool
+
+        cfg = self.config
+        cache = synthetic_full_pool(
+            cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+            state.ctx_len + state.sink, tail_cap, self.dtype, int4=int4,
+            align=self._pool_align(state))
+        st = dataclasses.replace(state, cache=cache, pruned=True)
+        st.snapshot()
+        return st
+
+    # ------------------------------------------------------ state save/load
+    def save_state(self, state: KVState, path: str) -> str:
+        """Persist a pruned pool state to disk (np.savez + a JSON sidecar)
+        so later runs can bench/serve the compressed cache WITHOUT paying
+        prefill + scoring again (~40 min at 480k; VERDICT r3 item 2 — the
+        driver's bench budget). The reference has no persisted-cache
+        equivalent; closest is its head-score assets
+        (`utils/head_score/*.pt`)."""
+        import json
+
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
+
+        cache = state.cache
+        if not isinstance(cache, (PoolKV, PoolInt4KV)):
+            raise ValueError("save_state supports pool caches (post-prune)")
+        base = path[:-4] if path.endswith(".npz") else path
+        arrays = {}
+        for f in dataclasses.fields(cache):
+            v = getattr(cache, f.name)
+            if isinstance(v, jax.Array):
+                arrays[f.name] = np.asarray(jax.device_get(v))
+        np.savez(base + ".npz", **arrays)
+        meta = dict(
+            kind="PoolInt4KV" if isinstance(cache, PoolInt4KV) else "PoolKV",
+            align=cache.align, max_rows=cache.max_rows,
+            model=self.name, kv_type=state.kv_type, sink=state.sink,
+            ctx_len=state.ctx_len, prefill_len=state.prefill_len,
+            dtype=str(jnp.dtype(self.dtype).name),
+        )
+        with open(base + ".json", "w") as f:
+            json.dump(meta, f)
+        return base + ".npz"
+
+    def load_state(self, path: str) -> KVState:
+        """Rehydrate a :meth:`save_state` artifact onto the device."""
+        import json
+
+        from kvzip_tpu.pool import PoolInt4KV, PoolKV
+
+        base = path[:-4] if path.endswith(".npz") else path
+        with open(base + ".json") as f:
+            meta = json.load(f)
+        if meta["model"] != self.name:
+            raise ValueError(
+                f"state was saved for {meta['model']!r}, engine is "
+                f"{self.name!r}")
+        cls = PoolInt4KV if meta["kind"] == "PoolInt4KV" else PoolKV
+        data = np.load(base + ".npz")
+        kwargs = {k: jnp.asarray(v) for k, v in data.items()}
+        cache = cls(**kwargs, align=int(meta["align"]),
+                    max_rows=int(meta["max_rows"]))
+        state = KVState(
+            cache=cache, kv_type=meta["kv_type"], sink=int(meta["sink"]),
+            ctx_len=int(meta["ctx_len"]),
+            prefill_len=int(meta["prefill_len"]), pruned=True)
+        state.snapshot()
+        return state
+
     # -------------------------------------------------------------- generate
     def _decode_loop(self, max_steps: int, capacity: int, impl: str):
         # eos_ids is baked into the traced fn, so it must be part of the key:
@@ -741,10 +860,12 @@ class Engine:
         @partial(jax.jit, donate_argnames=("cache",))
         def run(params, cache: KVCache, first_token):
             from kvzip_tpu.cache import FlatInt4KV, FlatKV
+            from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
             tokens0 = jnp.zeros((max_steps + 1,), jnp.int32)
             tokens0 = tokens0.at[0].set(first_token)
-            is_flat = isinstance(cache, (FlatKV, FlatInt4KV))
+            is_flat = isinstance(cache,
+                                 (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV))
 
             if is_flat:
                 mut0 = {f: getattr(cache, f) for f in _MUT}
@@ -795,8 +916,12 @@ class Engine:
         """
         query_ids = self.encode(query) if isinstance(query, str) else np.asarray(query)
         max_new = max_new_tokens or self.max_new_tokens
-        if update_cache:
-            self._maybe_refold(state, len(query_ids) + max_new)
+        # refold regardless of update_cache: the tail only ever holds
+        # COMMITTED rows between generates (read-only queries are restored
+        # away), so folding them into the flat/pool context is always sound
+        # — and a read-only query after many committed turns must not be
+        # blocked by a full tail
+        self._maybe_refold(state, len(query_ids) + max_new)
         self._check_capacity(state, len(query_ids) + max_new)
         state.snapshot()
 

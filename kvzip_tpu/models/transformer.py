@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from kvzip_tpu.cache import (FlatInt4KV, FlatKV, Int4KVCache, KVCache,
                              append_layer, append_layer_int4)
+from kvzip_tpu.pool import PoolInt4KV, PoolKV
 from kvzip_tpu.config import ModelConfig
 from kvzip_tpu.models.rope import apply_rope, rope_cos_sin
 from kvzip_tpu.ops import attention as attn_ops
@@ -111,8 +112,11 @@ def forward(
 ) -> ForwardResult:
     T = ids.shape[0]
     is_int4 = isinstance(cache, Int4KVCache)
-    is_flat = isinstance(cache, (FlatKV, FlatInt4KV))
-    is_flat_int4 = isinstance(cache, FlatInt4KV)
+    is_pool = isinstance(cache, (PoolKV, PoolInt4KV))
+    # pool caches share the flat tail/counter plumbing (frozen context +
+    # bf16 append tail); only the attention call differs
+    is_flat = isinstance(cache, (FlatKV, FlatInt4KV)) or is_pool
+    is_flat_int4 = isinstance(cache, (FlatInt4KV, PoolInt4KV))
     L, Hkv = cfg.num_layers, cfg.num_kv_heads
     Dh = cfg.head_dim
     H = cfg.num_heads
@@ -152,7 +156,14 @@ def forward(
     q_pos0 = cache.seen
     tail_len0 = cache.tail_len if is_flat else None
     if is_flat:
-        if is_flat_int4:
+        if is_pool:
+            if is_flat_int4:
+                flat_arrays = (cache.k_pool_q, cache.k_pool_s,
+                               cache.k_pool_z, cache.v_pool_q,
+                               cache.v_pool_s, cache.v_pool_z)
+            else:
+                flat_arrays = (cache.k_pool, cache.v_pool)
+        elif is_flat_int4:
             flat_arrays = (cache.k_flat_q, cache.k_flat_s, cache.k_flat_z,
                            cache.v_flat_q, cache.v_flat_s, cache.v_flat_z)
         else:
@@ -296,7 +307,28 @@ def forward(
         win = None
         if windows is not None:
             win = windows[layer_idx]
-        if is_flat:
+        if is_pool:
+            from kvzip_tpu.ops.pool_decode import (pool_decode_attend,
+                                                   pool_decode_attend_int4)
+            interp_flag = attn_impl == "flash_interpret"
+            # pool arrays closed over; the kernel's index maps select the
+            # layer's block range via prefetched scalars (no per-layer
+            # slice copy of the context, like the stacked flat kernels)
+            if is_flat_int4:
+                attn_out = pool_decode_attend_int4(
+                    q, *flat_arrays, flat_rh_all,
+                    cache.layer_off, cache.layer_rows,
+                    layer_store[0], layer_store[1], tail_len0, layer_idx,
+                    scale=scale, align=cache.align, max_rows=cache.max_rows,
+                    interpret=interp_flag, q8=(attn_impl == "flash_q8"))
+            else:
+                attn_out = pool_decode_attend(
+                    q, *flat_arrays, flat_rh_all,
+                    cache.layer_off, cache.layer_rows,
+                    layer_store[0], layer_store[1], tail_len0, layer_idx,
+                    scale=scale, align=cache.align, max_rows=cache.max_rows,
+                    interpret=interp_flag)
+        elif is_flat:
             from kvzip_tpu.ops.flat_decode import (flat_decode_attend,
                                                    flat_decode_attend_int4)
             interp_flag = attn_impl == "flash_interpret"

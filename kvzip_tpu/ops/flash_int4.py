@@ -38,6 +38,65 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 
 
+def _fused_trip(q2, qsum, kq_buf, ksz_buf, vq_buf, vsz_buf, slot,
+                m_scr, l_scr, acc_scr, s_mask_fn, dtype):
+    """One online-softmax trip with the v3 FUSED matmul structure.
+
+    v2 paid the MXU twice at half depth and the VPU ~13 passes per
+    (rows, BK) tile. v3:
+
+    - scores: ONE depth-D matmul ``q2 @ [b; b&15]`` (both halves of the
+      lo-only identity stacked — exact: nibbles/bytes are integers < 256,
+      exact in bf16) instead of two depth-D/2 matmuls. A 64-deep bf16
+      contraction uses half the 128x128 MXU; stacking restores full depth.
+    - PV: ONE f32 NT matmul ``p @ [b*vs; lo*vs; vz; 1]^T`` — the value
+      scale folds into the (D, BK) tile (64x cheaper than scaling the
+      (rows, BK) probabilities), and the zero-point (pz) and softmax-l
+      row sums ride along as two extra output columns, so the VPU never
+      reduces the big tile again.
+    - masking only where a block can actually cross the causal/live
+      boundary (``s_mask_fn``); interior blocks skip the compare+select.
+    """
+    rows = q2.shape[0]
+    D = q2.shape[1]
+
+    kpi = kq_buf[slot].astype(jnp.int32)                 # (D//2, BK) packed
+    k2 = jnp.concatenate([kpi, kpi & 0xF], axis=0).astype(q2.dtype)
+    qn = jax.lax.dot_general(
+        q2, k2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (rows, BK)
+    # ks/kz arrive pre-multiplied by the softmax scale (host side)
+    s = qn * ksz_buf[slot, 0:1] + qsum * ksz_buf[slot, 1:2]
+    if s_mask_fn is not None:
+        s = s_mask_fn(s)
+
+    m_prev = m_scr[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+    # exp(-inf) == 0 covers masked columns; every causal row sees at
+    # least its own key so m_new is finite (no NaN from -inf - -inf)
+    p = jnp.exp(s - m_new)
+
+    vpi = vq_buf[slot].astype(jnp.int32)                 # (D//2, BK) packed
+    vs = vsz_buf[slot, 0:1]
+    v2 = jnp.concatenate([
+        vpi.astype(jnp.float32) * vs,
+        (vpi & 0xF).astype(jnp.float32) * vs,
+        vsz_buf[slot, 1:2],
+        jnp.ones((1, p.shape[1]), jnp.float32)], axis=0)  # (D+2, BK)
+    mo = jax.lax.dot_general(
+        p, v2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (rows, D+2)
+    m1 = mo[:, :D // 2]
+    m2 = mo[:, D // 2:D]
+    pz = mo[:, D:D + 1]
+    ls = mo[:, D + 1:D + 2]
+    upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
+    l_scr[...] = l_scr[...] * alpha + ls
+    acc_scr[...] = acc_scr[...] * alpha + pz + upd
+    m_scr[...] = m_new
+
+
 def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
             o_ref, kq_buf, ksz_buf, vq_buf, vsz_buf, sem,
             m_scr, l_scr, acc_scr,
@@ -54,111 +113,60 @@ def _kernel(lens_ref, pos_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
     base = lens_ref[h]
     kv_end = jnp.minimum(base + (qb + 1) * BQ, C)
     nb = pl.cdiv(kv_end, BK)
+    # blocks fully visible to EVERY row of this q block skip the causal
+    # mask (compare+select over the (rows, BK) f32 tile x2 saved per trip)
+    nb_full = jnp.minimum(base + qb * BQ + 1, C) // BK
 
     q = q_ref[0].reshape(rows, D)
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)  # (rows, 1)
+    # lo-only unpack, stacked: byte row j = 16*x_j + x_{j+D/2}, so
+    #   q . x = [q_hi/16, q_lo - q_hi/16] . [b; b & 15]
+    # — the high nibble never materializes and the contraction runs at
+    # full MXU depth D (v2 ran two D/2-deep matmuls at ~half utilization)
     q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
     q_lo = q[:, D // 2:] - q_hi
+    q2 = jnp.concatenate([q_hi, q_lo], axis=1)           # (rows, D)
 
     m_scr[...] = jnp.full((rows, 1), NEG_INF, jnp.float32)
     l_scr[...] = jnp.zeros((rows, 1), jnp.float32)
     acc_scr[...] = jnp.zeros((rows, D), jnp.float32)
 
-    def dma_kq(b, slot):
-        return pltpu.make_async_copy(
-            kq_hbm.at[h, :, pl.ds(b * BK, BK)], kq_buf.at[slot],
-            sem.at[slot, 0])
+    def dma(b, slot):
+        return [pltpu.make_async_copy(
+            src.at[h, :, pl.ds(b * BK, BK)], buf.at[slot], sem.at[slot, i])
+            for i, (src, buf) in enumerate(
+                ((kq_hbm, kq_buf), (ksz_hbm, ksz_buf),
+                 (vq_hbm, vq_buf), (vsz_hbm, vsz_buf)))]
 
-    def dma_ksz(b, slot):
-        return pltpu.make_async_copy(
-            ksz_hbm.at[h, :, pl.ds(b * BK, BK)], ksz_buf.at[slot],
-            sem.at[slot, 1])
-
-    def dma_vq(b, slot):
-        return pltpu.make_async_copy(
-            vq_hbm.at[h, :, pl.ds(b * BK, BK)], vq_buf.at[slot],
-            sem.at[slot, 2])
-
-    def dma_vsz(b, slot):
-        return pltpu.make_async_copy(
-            vsz_hbm.at[h, :, pl.ds(b * BK, BK)], vsz_buf.at[slot],
-            sem.at[slot, 3])
-
-    dma_kq(0, 0).start()
-    dma_ksz(0, 0).start()
-    dma_vq(0, 0).start()
-    dma_vsz(0, 0).start()
+    for d in dma(0, 0):
+        d.start()
 
     row_q = jax.lax.broadcasted_iota(jnp.int32, (rows, BK), 0) % BQ
     col_local = jax.lax.broadcasted_iota(jnp.int32, (rows, BK), 1)
 
-    def body(b, _):
+    def body(b, masked):
         slot = b % 2
         nxt = (b + 1) % 2
 
         @pl.when(b + 1 < nb)
         def _():
-            dma_kq(b + 1, nxt).start()
-            dma_ksz(b + 1, nxt).start()
-            dma_vq(b + 1, nxt).start()
-            dma_vsz(b + 1, nxt).start()
+            for d in dma(b + 1, nxt):
+                d.start()
 
-        dma_kq(b, slot).wait()
-        dma_ksz(b, slot).wait()
-        dma_vq(b, slot).wait()
-        dma_vsz(b, slot).wait()
+        for d in dma(b, slot):
+            d.wait()
 
-        # scores: lo-only unpack + packed-byte matmul. Split packing means
-        # byte row j = 16*x_j + x_{j+D/2}, so
-        #   q . x = (q_hi/16) . b + (q_lo - q_hi/16) . lo,  lo = b & 15
-        # — the high nibble never materializes (the full unpack chain is
-        # ~7 VPU ops/packed byte and this kernel is VPU-co-bound;
-        # tools/probe_flat_unpack.py measured 4.6x on the decode variant).
-        # ks/kz arrive pre-multiplied by the softmax scale (host side).
-        kpi = kq_buf[slot].astype(jnp.int32)            # (D//2, BK) packed
-        kB = kpi.astype(q.dtype)
-        kLO = (kpi & 0xF).astype(q.dtype)
-        qn = (jax.lax.dot_general(
-            q_hi, kB, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(
-                q_lo, kLO, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32))     # (rows, BK)
-        ks = ksz_buf[slot, 0:1]                          # (1, BK) f32
-        kz = ksz_buf[slot, 1:2]
-        s = qn * ks + qsum * kz
+        def mask_fn(s):
+            mask = col_local + b * BK < (base + qb * BQ + row_q + 1)
+            return jnp.where(mask, s, NEG_INF)
 
-        col = col_local + b * BK
-        mask = col < (base + qb * BQ + row_q + 1)
-        s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_scr[...]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
-        # exp(-inf) == 0 covers masked columns; every causal row sees at
-        # least its own key so m_new is finite (no NaN from -inf - -inf)
-        p = jnp.exp(s - m_new)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-
-        # output: same lo-only identity on the value side (f32 NT):
-        #   out_hi = (ps . b - ps . lo) / 16,   out_lo = ps . lo
-        vpi = vq_buf[slot].astype(jnp.int32)             # (D//2, BK) packed
-        vB = vpi.astype(jnp.float32)
-        vLO = (vpi & 0xF).astype(jnp.float32)
-        ps = p * vsz_buf[slot, 0:1]                      # (rows, BK) f32
-        pz = jnp.sum(p * vsz_buf[slot, 1:2], axis=1, keepdims=True)
-        m1 = jax.lax.dot_general(
-            ps, vB, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # (rows, D//2)
-        m2 = jax.lax.dot_general(
-            ps, vLO, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
-        acc_scr[...] = acc_scr[...] * alpha + pz + upd
-        m_scr[...] = m_new
+        _fused_trip(q2, qsum, kq_buf, ksz_buf, vq_buf, vsz_buf, slot,
+                    m_scr, l_scr, acc_scr, mask_fn if masked else None,
+                    dtype)
         return 0
 
-    jax.lax.fori_loop(0, nb, body, 0)
+    jax.lax.fori_loop(0, nb_full, lambda b, _: body(b, False), 0)
+    jax.lax.fori_loop(nb_full, nb, lambda b, _: body(b, True), 0)
 
     out = acc_scr[...] / jnp.maximum(l_scr[...], 1e-37)
     o_ref[0] = out.reshape(G, BQ, D).astype(dtype)
@@ -186,11 +194,13 @@ def _kernel_extra(lens_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
 
     base = lens_ref[h]
     nb = pl.cdiv(base, BK)           # cache trips only (nothing appended)
+    nb_full = base // BK             # only the last partial block masks
 
     q = q_ref[0].reshape(rows, D)
     qsum = jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
     q_hi = q[:, :D // 2] * q.dtype.type(1.0 / 16.0)
     q_lo = q[:, D // 2:] - q_hi
+    q2 = jnp.concatenate([q_hi, q_lo], axis=1)           # (rows, D)
 
     m_scr[...] = jnp.full((rows, 1), NEG_INF, jnp.float32)
     l_scr[...] = jnp.zeros((rows, 1), jnp.float32)
@@ -211,26 +221,29 @@ def _kernel_extra(lens_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
     col_local = jax.lax.broadcasted_iota(jnp.int32, (rows, BK), 1)
 
     def online(s, v_packed, v_sz):
-        """One online-softmax update from a score tile + packed V."""
+        """One fused online-softmax update from a score tile + packed V
+        (see :func:`_fused_trip` for the matmul structure)."""
         m_prev = m_scr[...]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
-        p = jnp.where(jnp.isfinite(s), jnp.exp(s - m_new), 0.0)
-        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        p = jnp.exp(s - m_new)
         vpi = v_packed.astype(jnp.int32)
-        vB = vpi.astype(jnp.float32)
-        vLO = (vpi & 0xF).astype(jnp.float32)
-        ps = p * v_sz[0:1]
-        pz = jnp.sum(p * v_sz[1:2], axis=1, keepdims=True)
-        m1 = jax.lax.dot_general(ps, vB, (((1,), (1,)), ((), ())),
+        vs = v_sz[0:1]
+        v2 = jnp.concatenate([
+            vpi.astype(jnp.float32) * vs,
+            (vpi & 0xF).astype(jnp.float32) * vs,
+            v_sz[1:2],
+            jnp.ones((1, p.shape[1]), jnp.float32)], axis=0)
+        mo = jax.lax.dot_general(p, v2, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        m2 = jax.lax.dot_general(ps, vLO, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        m1 = mo[:, :D // 2]
+        m2 = mo[:, D // 2:D]
         upd = jnp.concatenate([(m1 - m2) * (1.0 / 16.0), m2], axis=1)
-        acc_scr[...] = acc_scr[...] * alpha + pz + upd
+        l_scr[...] = l_scr[...] * alpha + mo[:, D + 1:D + 2]
+        acc_scr[...] = acc_scr[...] * alpha + mo[:, D:D + 1] + upd
         m_scr[...] = m_new
 
-    def body(b, _):
+    def body(b, masked):
         slot = b % 2
         nxt = (b + 1) % 2
 
@@ -243,31 +256,28 @@ def _kernel_extra(lens_ref, q_ref, kq_hbm, ksz_hbm, vq_hbm, vsz_hbm,
             d.wait()
 
         kpi = kq_buf[slot].astype(jnp.int32)
-        kB = kpi.astype(q.dtype)
-        kLO = (kpi & 0xF).astype(q.dtype)
-        qn = (jax.lax.dot_general(q_hi, kB, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(q_lo, kLO, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32))
+        k2 = jnp.concatenate([kpi, kpi & 0xF], axis=0).astype(q.dtype)
+        qn = jax.lax.dot_general(q2, k2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
         s = qn * ksz_buf[slot, 0:1] + qsum * ksz_buf[slot, 1:2]
-        # cache rows all precede the chunk: visible iff live
-        s = jnp.where(col_local + b * BK < base, s, NEG_INF)
+        if masked:
+            # cache rows all precede the chunk: visible iff live — every
+            # q row has live columns here (base > b*BK), so m_new is finite
+            s = jnp.where(col_local + b * BK < base, s, NEG_INF)
         online(s, vq_buf[slot], vsz_buf[slot])
         return 0
 
-    jax.lax.fori_loop(0, nb, body, 0)
+    jax.lax.fori_loop(0, nb_full, lambda b, _: body(b, False), 0)
+    jax.lax.fori_loop(nb_full, nb, lambda b, _: body(b, True), 0)
 
     # ---- the chunk's own rows (VMEM inputs), causal within the chunk
     row_q = jax.lax.broadcasted_iota(jnp.int32, (rows, block_x), 0) % BQ
     col_x = jax.lax.broadcasted_iota(jnp.int32, (rows, block_x), 1)
     for xb in range(Tx // block_x):
         kpi = kx_ref[0, :, xb * block_x:(xb + 1) * block_x].astype(jnp.int32)
-        kB = kpi.astype(q.dtype)
-        kLO = (kpi & 0xF).astype(q.dtype)
-        qn = (jax.lax.dot_general(q_hi, kB, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-              + jax.lax.dot_general(q_lo, kLO, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32))
+        k2 = jnp.concatenate([kpi, kpi & 0xF], axis=0).astype(q.dtype)
+        qn = jax.lax.dot_general(q2, k2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
         ksz = kxsz_ref[0, :, xb * block_x:(xb + 1) * block_x]
         s = qn * ksz[0:1] + qsum * ksz[1:2]
         mask = col_x + xb * block_x < qb * BQ + row_q + 1

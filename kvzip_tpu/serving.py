@@ -50,7 +50,10 @@ def _pad_capacity(cache, capacity: int):
     if not isinstance(cache, KVCache):
         raise NotImplementedError(
             "batched_generate supports dense KVCache and flat "
-            "FlatKV/FlatInt4KV states")
+            "FlatKV/FlatInt4KV states — prune serving engines with "
+            'flat_decode="legacy" (the uniform-r_pad stack is what makes '
+            "same-shape batch stacking possible; per-request pools have "
+            "incompatible per-layer offsets)")
     if cache.capacity == capacity:
         return cache
     extra = capacity - cache.capacity

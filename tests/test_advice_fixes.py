@@ -72,8 +72,8 @@ def test_int4_flat_long_query():
     st = eng.prefill(ids, prefill_chunk_size=300)
     eng.prune(st, 0.5, "pair")
 
-    from kvzip_tpu.cache import FlatInt4KV
-    assert isinstance(st.cache, FlatInt4KV)
+    from kvzip_tpu.pool import PoolInt4KV
+    assert isinstance(st.cache, PoolInt4KV)
 
     q = np.arange(1030, dtype=np.int32) % (cfg.vocab_size - 2) + 1
     out = eng.generate(q, st)

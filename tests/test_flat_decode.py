@@ -127,11 +127,13 @@ def test_flatten_full_matches_dense():
 
 
 def test_flat_engine_end_to_end():
+    # "legacy" pins the round-3 uniform-r_pad layout (still used by batched
+    # serving); the default "on" path now builds the pool (tests/test_pool.py)
     cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
                       hidden_size=128)
     eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
                  max_new_tokens=6, decode_budget=256, capacity_granularity=256,
-                 score_chunk_size=256, flat_decode="on")
+                 score_chunk_size=256, flat_decode="legacy")
     eng_ref = Engine("tiny-llama", kv_type="evict", config=cfg,
                      dtype=jnp.float32, max_new_tokens=6, decode_budget=256,
                      capacity_granularity=256, score_chunk_size=256,

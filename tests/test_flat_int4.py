@@ -55,7 +55,7 @@ def test_int4_flat_engine_end_to_end():
                       hidden_size=128)
     eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
                  max_new_tokens=6, decode_budget=256, capacity_granularity=256,
-                 score_chunk_size=256, kv_quant="int4", flat_decode="on")
+                 score_chunk_size=256, kv_quant="int4", flat_decode="legacy")
     st = eng.prefill(CTX, prefill_chunk_size=300)
     full_used = st.cache.used_bytes()
     eng.prune(st, 0.5, "pair")

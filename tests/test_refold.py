@@ -77,19 +77,23 @@ def test_refold_flat_preserves_attention():
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("kv_quant", ["none", "int4"])
-def test_multi_turn_past_budget(kv_quant):
+@pytest.mark.parametrize("kv_quant,mode", [
+    ("none", "on"), ("int4", "on"), ("int4", "legacy")])
+def test_multi_turn_past_budget(kv_quant, mode):
     """10 update_cache=True turns blowing past decode_budget (reference
-    unbounded multi-turn, `attention/kvcache.py:82-106`)."""
+    unbounded multi-turn, `attention/kvcache.py:82-106`) — through both the
+    pool (default) and legacy-flat refold paths."""
+    from kvzip_tpu.pool import PoolInt4KV, PoolKV
+
     cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
                       hidden_size=128)
     eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
                  max_new_tokens=4, decode_budget=160,
                  capacity_granularity=256, score_chunk_size=256,
-                 kv_quant=kv_quant, flat_decode="on")
+                 kv_quant=kv_quant, flat_decode=mode)
     st = eng.prefill(CTX, prefill_chunk_size=300)
     eng.prune(st, 0.5, "pair")
-    assert isinstance(st.cache, (FlatKV, FlatInt4KV))
+    assert isinstance(st.cache, (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV))
 
     base_rows = int(np.asarray(jax.device_get(st.cache.lengths)).sum())
     refolds = 0

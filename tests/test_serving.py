@@ -49,7 +49,7 @@ def test_scheduler_mixed_cache_types():
                    dtype=jnp.float32, params=eng_r.params,
                    tokenizer=eng_r.tokenizer, max_new_tokens=5,
                    decode_budget=256, capacity_granularity=256,
-                   score_chunk_size=256, flat_decode="on")
+                   score_chunk_size=256, flat_decode="legacy")
 
     st_r = eng_r.prefill(CTXS[0], prefill_chunk_size=300)
     eng_r.prune(st_r, 0.5, "pair")
@@ -77,7 +77,7 @@ def test_batched_flat_matches_sequential():
                       hidden_size=128)
     eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
                  max_new_tokens=5, decode_budget=256, capacity_granularity=256,
-                 score_chunk_size=256, flat_decode="on")
+                 score_chunk_size=256, flat_decode="legacy")
 
     ctxs = CTXS + ["A third context about the color vermilion. " * 21]
     states = [eng.prefill(c, prefill_chunk_size=300) for c in ctxs]
@@ -107,7 +107,7 @@ def test_batched_flat_w4a8_matches_sequential():
     eng = Engine("tiny-llama", kv_type="evict", config=cfg,
                  dtype=jnp.float32, max_new_tokens=5, decode_budget=256,
                  capacity_granularity=256, score_chunk_size=256,
-                 flat_decode="on", weight_quant="w4a8")
+                 flat_decode="legacy", weight_quant="w4a8")
     assert "wqkv" in eng.params["layers"]
 
     states = [eng.prefill(c, prefill_chunk_size=300) for c in CTXS]
@@ -130,7 +130,7 @@ def test_continuous_batching_admission():
     eng = Engine("tiny-llama", kv_type="evict", config=cfg,
                  dtype=jnp.float32, max_new_tokens=8, decode_budget=256,
                  capacity_granularity=256, score_chunk_size=256,
-                 flat_decode="on")
+                 flat_decode="legacy")
 
     ctxs = CTXS + ["A third context about the color vermilion. " * 21,
                    "Fourth context: the password is 9441. " * 23]
