@@ -52,22 +52,31 @@ PERF_FLOORS = {
 }
 
 
-def _slope(fn, x, n1=4, n2=16):
-    """Per-rep seconds via chained-reps slope (tunnel-safe timing)."""
+def _slope(fn, x, *arrays, n1=4, n2=16):
+    """Per-rep seconds via chained-reps slope (tunnel-safe timing).
 
-    @functools.partial(jax.jit, static_argnames=("n",))
-    def reps(x, n):
-        o = x
-        for _ in range(n):
-            o = fn(o)
-        return o
+    The operand ``arrays`` MUST be passed here (fn(o, *arrays)), never
+    captured in fn's closure: closure-captured arrays are serialized into
+    the remote_compile request body and the axon tunnel rejects multi-MB
+    bodies with HTTP 413 (NOTES.md probe discipline).
+
+    Reps chain through a ``fori_loop`` with a DYNAMIC trip count, so both
+    timing points share one executable, and callers size (n2 - n1) so the
+    kernel signal is tens of ms — the tunnel's per-dispatch jitter is
+    multiple ms and a too-small rep count returns noise (the first lane
+    run measured a NEGATIVE bandwidth on the 14-us w4a8 step)."""
+
+    @jax.jit
+    def reps(x, arrays, n):
+        return jax.lax.fori_loop(0, n, lambda i, o: fn(o, *arrays), x)
 
     def t(n):
+        n = jnp.asarray(n, jnp.int32)
         # sync on a tiny slice: full-array device_get of a multi-MB output
         # through the tunnel would swamp the kernel time being measured
-        np.asarray(jax.device_get(reps(x, n).ravel()[:8]))
+        np.asarray(jax.device_get(reps(x, arrays, n).ravel()[:8]))
         t0 = time.time()
-        np.asarray(jax.device_get(reps(x, n).ravel()[:8]))
+        np.asarray(jax.device_get(reps(x, arrays, n).ravel()[:8]))
         return time.time() - t0
 
     t1, t2 = t(n1), t(n2)
@@ -425,9 +434,11 @@ def test_perf_flat_decode_int4(rng):
     q = jax.random.normal(key, (1, H, D), jnp.bfloat16)
     gb = R * (D + 16) / 1e9
 
-    sec = _slope(lambda o: flat_decode_attend_int4(
-        o, kq, s, z, vq, s, z, rh, kt, vt, jnp.asarray(3, jnp.int32),
-        scale=SCALE), q)
+    sec = _slope(
+        lambda o, kq, s, z, vq, rh, kt, vt: flat_decode_attend_int4(
+            o, kq, s, z, vq, s, z, rh, kt, vt, jnp.asarray(3, jnp.int32),
+            scale=SCALE),
+        q, kq, s, z, vq, rh, kt, vt, n1=16, n2=216)  # ~250 us/rep
     _check_floor("flat_decode_int4", gb / sec, "GB/s")
 
 
@@ -456,10 +467,13 @@ def test_perf_pool_decode_int4(rng):
     q = jax.random.normal(key, (1, H, D), jnp.bfloat16)
     gb = R_layer * (D + 16) / 1e9  # per call: ONE layer's live rows
 
-    sec = _slope(lambda o: pool_decode_attend_int4(
-        o, kq, s, z, vq, s, z, rh, off, rows, kt, vt,
-        jnp.asarray(3, jnp.int32), jnp.asarray(1, jnp.int32), scale=SCALE,
-        align=align, max_rows=R_layer), q)
+    sec = _slope(
+        lambda o, kq, s, z, vq, rh, off, rows, kt, vt:
+        pool_decode_attend_int4(
+            o, kq, s, z, vq, s, z, rh, off, rows, kt, vt,
+            jnp.asarray(3, jnp.int32), jnp.asarray(1, jnp.int32),
+            scale=SCALE, align=align, max_rows=R_layer),
+        q, kq, s, z, vq, rh, off, rows, kt, vt, n1=16, n2=216)
     _check_floor("pool_decode_int4", gb / sec, "GB/s")
 
 
@@ -483,10 +497,12 @@ def test_perf_pool_decode_bf16(rng):
     q = jax.random.normal(key, (1, H, D), jnp.bfloat16)
     gb = R_layer * (2 * D * 2) / 1e9
 
-    sec = _slope(lambda o: pool_decode_attend(
-        o, kp, vp, rh, off, rows, kt, vt, jnp.asarray(3, jnp.int32),
-        jnp.asarray(0, jnp.int32), scale=SCALE, align=align,
-        max_rows=R_layer), q)
+    sec = _slope(
+        lambda o, kp, vp, rh, off, rows, kt, vt: pool_decode_attend(
+            o, kp, vp, rh, off, rows, kt, vt, jnp.asarray(3, jnp.int32),
+            jnp.asarray(0, jnp.int32), scale=SCALE, align=align,
+            max_rows=R_layer),
+        q, kp, vp, rh, off, rows, kt, vt, n1=32, n2=352)  # ~165 us/rep
     _check_floor("pool_decode_bf16", gb / sec, "GB/s")
 
 
@@ -510,9 +526,11 @@ def test_perf_flash_int4_prefill(rng):
     # 2 matmuls (QK^T, PV) x 2 flops, average causal visibility
     flops = 2 * 2 * H * T * (base + T / 2) * D
 
-    sec = _slope(lambda o: flash_attend_int4(
-        o, kqt, ks0, kz0, vqt, vs0, vz0, lens,
-        jnp.asarray(base, jnp.int32), scale=SCALE), q, n1=2, n2=6)
+    sec = _slope(
+        lambda o, kqt, ks0, kz0, vqt, vs0, vz0, lens: flash_attend_int4(
+            o, kqt, ks0, kz0, vqt, vs0, vz0, lens,
+            jnp.asarray(base, jnp.int32), scale=SCALE),
+        q, kqt, ks0, kz0, vqt, vs0, vz0, lens, n1=2, n2=6)
     _check_floor("flash_int4_prefill", flops / sec / 1e12, "TFLOP/s")
 
 
@@ -539,9 +557,13 @@ def test_perf_scoring_extras(rng):
     q = jax.random.normal(key, (T, H, D), jnp.bfloat16)
     flops = 2 * 2 * H * T * (base + T / 2) * D
 
-    sec = _slope(lambda o: flash_attend_int4_extra(
-        o, kqt, ks[..., 0], kz[..., 0], vqt, vs[..., 0], vz[..., 0], lens,
-        kxq, kxs, kxz, vxq, vxs, vxz, scale=SCALE), q, n1=2, n2=6)
+    extras = (kxq, kxs, kxz, vxq, vxs, vxz)
+    sec = _slope(
+        lambda o, kqt, ks0, kz0, vqt, vs0, vz0, lens, *ex:
+        flash_attend_int4_extra(
+            o, kqt, ks0, kz0, vqt, vs0, vz0, lens, *ex, scale=SCALE),
+        q, kqt, ks[..., 0], kz[..., 0], vqt, vs[..., 0], vz[..., 0], lens,
+        *extras, n1=2, n2=6)
     _check_floor("scoring_extras", flops / sec / 1e12, "TFLOP/s")
 
 
@@ -561,6 +583,8 @@ def test_perf_w4a8_stacked(rng):
     x = jax.random.normal(key, (8, K), jnp.bfloat16)
     gb = (q4[0].size + s[0].size * 2 + z[0].size * 2) / 1e9
 
-    sec = _slope(lambda o: w4a8_matmul_stacked(
-        o, q4, s, z, jnp.asarray(7, jnp.int32)).astype(o.dtype)[:, :K], x)
+    sec = _slope(
+        lambda o, q4, s, z: w4a8_matmul_stacked(
+            o, q4, s, z, jnp.asarray(7, jnp.int32)).astype(o.dtype)[:, :K],
+        x, q4, s, z, n1=512, n2=4608)  # ~14 us/rep -> ~57 ms signal
     _check_floor("w4a8_stacked", gb / sec, "GB/s")
