@@ -60,9 +60,15 @@ def threshold_histogram(score: jax.Array, ratio: float,
     around the k-th largest element. Scores originate from bf16 ``amax``
     (a quantized value grid), so ``iters x log2(bins)`` bits of range
     resolution isolates the exact k-th value and the resulting mask is
-    IDENTICAL to the sort-based one (verified in tests/test_parallel.py);
-    for pathological continuous inputs it is approximate within the final
-    bin width.
+    IDENTICAL to the sort-based one (verified in tests/test_parallel.py).
+
+    A runtime RANK GUARD verifies that property on every call: the exact
+    k-th-order-statistic invariants ``#{x > thres} <= k`` and
+    ``#{x >= thres} >= k+1`` are checked on device, and any violation
+    (e.g. pathological continuous inputs where float rounding at a bin
+    edge misplaces the k-th value) falls back to the sort-based
+    :func:`threshold_global` instead of silently returning an
+    approximate threshold.
     """
     if ratio >= 1:
         return jnp.ones_like(score, dtype=jnp.bool_), 0.0
@@ -93,12 +99,26 @@ def threshold_histogram(score: jax.Array, ratio: float,
     thres = jnp.max(jnp.where((pool >= lo) & (pool < hi), pool, -jnp.inf))
     thres = jnp.where(jnp.isfinite(thres), thres, lo)
 
+    # rank guard: thres must be the exact k-th largest element (ties
+    # included). One fused reduction pass; ~free next to the histogram.
+    n_gt = jnp.sum(pool > thres)
+    n_ge = jnp.sum(pool >= thres)
+    thres_v, n_gt_v, n_ge_v = (
+        np.asarray(v) for v in jax.device_get((thres, n_gt, n_ge)))
+    if not (n_gt_v <= k and n_ge_v >= k + 1):
+        import warnings
+        warnings.warn(
+            f"threshold_histogram rank guard tripped "
+            f"(#>thres={int(n_gt_v)}, #>=thres={int(n_ge_v)}, k={k}); "
+            "falling back to the sort-based global threshold")
+        return threshold_global(score, ratio, static_layers)
+
     valid = score.astype(jnp.float32) > thres
     if static_layers is not None:
         mask = np.zeros((score.shape[0],), dtype=bool)
         mask[np.asarray(static_layers)] = True
         valid = jnp.where(jnp.asarray(mask)[:, None, None], valid, True)
-    return valid, float(jax.device_get(thres))
+    return valid, float(thres_v)
 
 
 def threshold_uniform(score: jax.Array, ratio: float,
