@@ -69,6 +69,12 @@ class ModelConfig:
     post_norms: bool = False
     hidden_act: str = "silu"
 
+    # --- runtime tactic (part of the jit key via the static cfg) ---
+    # fused Pallas RMSNorm-quant / act-mul-quant kernels on the W8A8 path
+    # (QServe's RMSNormGeneral / SiluAndMulQuant, w8a8kv4_llama.py:126-163);
+    # opt-in via Engine(act_fused="pallas")
+    fused_act: bool = False
+
     @property
     def num_kv_groups(self) -> int:
         return self.num_heads // self.num_kv_heads

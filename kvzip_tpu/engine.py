@@ -139,11 +139,15 @@ class Engine:
         embed_quant: str = "none",   # "none" | "int8" (embed + lm_head)
         flat_decode: str = "auto",   # "auto"|"on"|"off"|"legacy" (r3 layout)
         attn_quant: str = "none",    # "none" | "int8" (flat-decode s8 dots)
+        act_fused: str = "xla",      # "xla" | "pallas" (fused W8A8
+                                     # RMSNorm-quant / SiLU-mul-quant kernels)
         mesh=None,
         seq_parallel: bool = False,  # ring-attention prefill over mesh "data"
         seed: int = 0,
     ):
         self.config = config or resolve_config(model_name)
+        if act_fused == "pallas":
+            self.config = dataclasses.replace(self.config, fused_act=True)
         # checkpoint-dir names collapse to the basename for result/file tags
         self.name = (model_name.rstrip("/").split("/")[-1]
                      if "/" in model_name else model_name)

@@ -89,6 +89,27 @@ def _lin_shared(x: jax.Array, weights, biases) -> list:
     return [_lin(x, w, b) for w, b in zip(weights, biases)]
 
 
+def _is_int8(w) -> bool:
+    return isinstance(w, dict) and "q" in w and "q4" not in w
+
+
+def _norm_lin_shared(x: jax.Array, norm_w, eps: float, gemma: bool,
+                     weights, biases, fused: bool) -> list:
+    """RMSNorm followed by shared-activation projections; when ``fused``
+    and the weights are W8A8, the norm + dynamic act-quant run as ONE
+    Pallas pass (QServe ``RMSNormGeneral`` parity, `w8a8kv4_llama.py:
+    126-147`; fp32 throughout — no intermediate bf16 round-trip)."""
+    if fused and _is_int8(weights[0]):
+        from kvzip_tpu.ops.fused_act import rmsnorm_quant
+        from kvzip_tpu.ops.quant import int8_matmul
+        xq, xs = rmsnorm_quant(x, norm_w, eps, gemma=gemma,
+                               interpret=jax.default_backend() == "cpu")
+        return [int8_matmul(xq, xs, w["q"], w["s"], b, x.dtype)
+                for w, b in zip(weights, biases)]
+    h = rms_norm(x, norm_w, eps, gemma=gemma)
+    return _lin_shared(h, weights, biases)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -184,11 +205,11 @@ def forward(
         x, *store = carry
         (layer_params, layer_idx, is_static, base_lens, valid_l) = xs
 
-        h = rms_norm(x, layer_params["ln_attn"], cfg.rms_norm_eps,
-                     gemma=cfg.gemma_style_norm)
         if "wqkv" in w4:
             # fused W4A8 qkv: one stacked-kernel launch, one act quant
             from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            h = rms_norm(x, layer_params["ln_attn"], cfg.rms_norm_eps,
+                         gemma=cfg.gemma_style_norm)
             qkv = w4a8_linear_stacked(h, w4["wqkv"], layer_idx)
             nq, nk = H * Dh, Hkv * Dh
             q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nk], qkv[:, nq + nk:])
@@ -198,16 +219,19 @@ def forward(
                 v = v + layer_params["bv"]
         elif "wq" in w4:
             from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            h = rms_norm(x, layer_params["ln_attn"], cfg.rms_norm_eps,
+                         gemma=cfg.gemma_style_norm)
             q, k, v = (
                 w4a8_linear_stacked(h, w4[n], layer_idx,
                                     layer_params.get(b))
                 for n, b in (("wq", "bq"), ("wk", "bk"), ("wv", "bv")))
         else:
-            q, k, v = _lin_shared(
-                h,
+            q, k, v = _norm_lin_shared(
+                x, layer_params["ln_attn"], cfg.rms_norm_eps,
+                cfg.gemma_style_norm,
                 (layer_params["wq"], layer_params["wk"], layer_params["wv"]),
                 (layer_params.get("bq"), layer_params.get("bk"),
-                 layer_params.get("bv")))
+                 layer_params.get("bv")), cfg.fused_act)
         q = q.reshape(T, H, Dh)
         k = k.reshape(T, Hkv, Dh)
         v = v.reshape(T, Hkv, Dh)
@@ -424,26 +448,41 @@ def forward(
                                 cfg.rms_norm_eps, gemma=cfg.gemma_style_norm)
         x = x + attn_out
 
-        h2 = rms_norm(x, layer_params["ln_mlp"], cfg.rms_norm_eps,
-                      gemma=cfg.gemma_style_norm)
         if "w_gateup" in w4:
             from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            h2 = rms_norm(x, layer_params["ln_mlp"], cfg.rms_norm_eps,
+                          gemma=cfg.gemma_style_norm)
             gu = w4a8_linear_stacked(h2, w4["w_gateup"], layer_idx)
             gate, up = jnp.split(gu, 2, axis=-1)
         elif "w_gate" in w4:
             from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+            h2 = rms_norm(x, layer_params["ln_mlp"], cfg.rms_norm_eps,
+                          gemma=cfg.gemma_style_norm)
             gate = w4a8_linear_stacked(h2, w4["w_gate"], layer_idx)
             up = w4a8_linear_stacked(h2, w4["w_up"], layer_idx)
         else:
-            gate, up = _lin_shared(
-                h2, (layer_params["w_gate"], layer_params["w_up"]),
-                (None, None))
-        hidden = _act(gate, cfg.hidden_act) * up
-        if "w_down" in w4:
-            from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
-            mlp = w4a8_linear_stacked(hidden, w4["w_down"], layer_idx)
+            gate, up = _norm_lin_shared(
+                x, layer_params["ln_mlp"], cfg.rms_norm_eps,
+                cfg.gemma_style_norm,
+                (layer_params["w_gate"], layer_params["w_up"]),
+                (None, None), cfg.fused_act)
+        w_down = layer_params.get("w_down")
+        if (cfg.fused_act and "w_down" not in w4 and _is_int8(w_down)):
+            # fused act(gate)*up + dynamic quant feeding the int8 down
+            # projection (QServe SiluAndMulQuant, w8a8kv4_llama.py:149-163)
+            from kvzip_tpu.ops.fused_act import silu_mul_quant
+            from kvzip_tpu.ops.quant import int8_matmul
+            hq, hs = silu_mul_quant(
+                gate, up, act=cfg.hidden_act,
+                interpret=jax.default_backend() == "cpu")
+            mlp = int8_matmul(hq, hs, w_down["q"], w_down["s"], None, x.dtype)
         else:
-            mlp = _lin(hidden, layer_params["w_down"])
+            hidden = _act(gate, cfg.hidden_act) * up
+            if "w_down" in w4:
+                from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+                mlp = w4a8_linear_stacked(hidden, w4["w_down"], layer_idx)
+            else:
+                mlp = _lin(hidden, layer_params["w_down"])
         if cfg.post_norms:
             mlp = rms_norm(mlp, layer_params["ln_post_mlp"], cfg.rms_norm_eps,
                            gemma=cfg.gemma_style_norm)

@@ -416,6 +416,29 @@ def test_w4a8_stacked_chip(rng):
             rtol=0, atol=0.1, err_msg=f"layer {layer}")
 
 
+def test_fused_act_chip(rng):
+    """Fused RMSNorm-quant / SiLU-mul-quant kernels COMPILED on chip ==
+    their interpret-mode (jnp) execution, at 7B decode shapes."""
+    from kvzip_tpu.ops.fused_act import rmsnorm_quant, silu_mul_quant
+
+    T, D, F = 16, 3584, 18944
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((D,)) * 0.5, jnp.bfloat16)
+    q, s = rmsnorm_quant(x, w, 1e-6)
+    qi, si = rmsnorm_quant(x, w, 1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(si), rtol=2e-6)
+    assert np.abs(np.asarray(q, np.int32) -
+                  np.asarray(qi, np.int32)).max() <= 1
+
+    g = jnp.asarray(rng.standard_normal((T, F)), jnp.bfloat16)
+    u = jnp.asarray(rng.standard_normal((T, F)), jnp.bfloat16)
+    q2, s2 = silu_mul_quant(g, u)
+    q2i, s2i = silu_mul_quant(g, u, interpret=True)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s2i), rtol=2e-6)
+    assert np.abs(np.asarray(q2, np.int32) -
+                  np.asarray(q2i, np.int32)).max() <= 1
+
+
 # ------------------------------------------------------------- perf floors
 def test_perf_flat_decode_int4(rng):
     from kvzip_tpu.ops.flat_decode import flat_decode_attend_int4
