@@ -20,6 +20,9 @@ import numpy as np
 from kvzip_tpu.cache import FlatInt4KV, FlatKV, KVCache
 from kvzip_tpu.engine import Engine, KVState
 from kvzip_tpu.models.transformer import forward
+from kvzip_tpu.pool import PoolInt4KV, PoolKV
+
+_MERGEABLE = (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)
 
 
 def _pad_capacity(cache, capacity: int):
@@ -49,11 +52,11 @@ def _pad_capacity(cache, capacity: int):
         )
     if not isinstance(cache, KVCache):
         raise NotImplementedError(
-            "batched_generate supports dense KVCache and flat "
-            "FlatKV/FlatInt4KV states — prune serving engines with "
-            'flat_decode="legacy" (the uniform-r_pad stack is what makes '
-            "same-shape batch stacking possible; per-request pools have "
-            "incompatible per-layer offsets)")
+            "batch STACKING supports dense KVCache and flat "
+            "FlatKV/FlatInt4KV states; pool caches batch through the "
+            "single-device MERGED-pool path instead (serving._merge_pool) "
+            "— on a mesh, prune serving engines with "
+            'flat_decode="legacy"')
     if cache.capacity == capacity:
         return cache
     extra = capacity - cache.capacity
@@ -229,6 +232,135 @@ def _merge_flat(caches: Sequence) -> dict:
     return out
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _merge_gather_cols(src, take, kept, off, alloc: int, fill):
+    """(Wd, ΣP) concat source -> (Wd, alloc) merged pool: per merged layer,
+    gather its take columns and write one uniform-width slab (forward
+    order — later layers overwrite the previous layer's spill, exactly the
+    pool builders' discipline)."""
+    L = take.shape[0]
+    Wd = src.shape[0]
+    pool = jnp.full((Wd, alloc), fill, src.dtype)
+
+    def body(l, pool):
+        t = jax.lax.dynamic_index_in_dim(take, l, 0, keepdims=False)
+        kk = jax.lax.dynamic_index_in_dim(kept, l, 0, keepdims=False)
+        cols = jnp.take(src, t, axis=1)
+        cols = jnp.where(kk[None], cols, fill)
+        return jax.lax.dynamic_update_slice(pool, cols, (0, off[l]))
+
+    return jax.lax.fori_loop(0, L, body, pool)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _merge_gather_rows(src, take, kept, off, alloc: int):
+    """(ΣP, D) concat source -> (alloc, D) merged pool (row-major V)."""
+    L = take.shape[0]
+    D = src.shape[1]
+    pool = jnp.zeros((alloc, D), src.dtype)
+
+    def body(l, pool):
+        t = jax.lax.dynamic_index_in_dim(take, l, 0, keepdims=False)
+        kk = jax.lax.dynamic_index_in_dim(kept, l, 0, keepdims=False)
+        rows = jnp.take(src, t, axis=0)
+        rows = jnp.where(kk[:, None], rows, 0)
+        return jax.lax.dynamic_update_slice(pool, rows, (off[l], 0))
+
+    return jax.lax.fori_loop(0, L, body, pool)
+
+
+def _merge_pool(caches: Sequence) -> dict:
+    """Merge B POOL caches into one pool whose kv-head space is B*Hkv.
+
+    Unlike the legacy flat merge (uniform r_pad per sequence), the merged
+    layer-l segment holds every request's LIVE layer-l rows back to back —
+    no inter-request padding; only layer STARTS stay align-multiples (the
+    block granularity the pool kernel's index maps address). Row head ids
+    shift to ``b*Hkv + h``, so the kernel's ``row_head == q_kvhead`` match
+    isolates sequences with zero extra machinery (same trick as the merged
+    flat layout, serving.py round 2)."""
+    is_int4 = isinstance(caches[0], PoolInt4KV)
+    B = len(caches)
+    L = caches[0].num_layers
+    Hkv = caches[0].k_tail.shape[1]
+    align = max(c.align for c in caches)
+
+    rows = np.stack([np.asarray(jax.device_get(c.layer_rows))
+                     for c in caches])                       # (B, L)
+    offs = np.stack([np.asarray(jax.device_get(c.layer_off))
+                     for c in caches])                       # (B, L)
+    caps = [c.capacity for c in caches]
+    bases = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.int64)
+
+    m_l = np.maximum(align,
+                     ((rows.sum(0) + align - 1) // align) * align)  # (L,)
+    new_off = np.concatenate([[0], np.cumsum(m_l)[:-1]]).astype(np.int32)
+    W = int(m_l.max())
+    alloc = int(new_off[-1] + W)
+
+    take = np.zeros((L, W), np.int32)
+    kept = np.zeros((L, W), bool)
+    bofs = np.zeros((L, W), np.int32)
+    for l in range(L):
+        col = 0
+        for b in range(B):
+            r = int(rows[b, l])
+            take[l, col:col + r] = bases[b] + offs[b, l] + np.arange(r)
+            kept[l, col:col + r] = True
+            bofs[l, col:col + r] = b * Hkv
+            col += r
+    take_j = jnp.asarray(take)
+    kept_j = jnp.asarray(kept)
+    off_j = jnp.asarray(new_off)
+
+    def cols(name, fill=0):
+        src = jnp.concatenate([getattr(c, name) for c in caches], axis=-1)
+        return _merge_gather_cols(src, take_j, kept_j, off_j, alloc,
+                                  jnp.asarray(fill, src.dtype))
+
+    rh = cols("row_head", fill=-1)
+    rh = jnp.where(rh >= 0,
+                   rh + _bofs_pool(jnp.asarray(bofs), off_j, alloc), -1)
+
+    out = dict(
+        row_head=rh,
+        layer_off=off_j,
+        layer_rows=jnp.asarray(rows.sum(0).astype(np.int32)),
+        align=align, max_rows=W,
+        k_tail=jnp.concatenate([c.k_tail for c in caches], axis=1),
+        v_tail=jnp.concatenate([c.v_tail for c in caches], axis=1),
+        tail_lens=jnp.concatenate(
+            [jnp.broadcast_to(c.tail_len[None], (Hkv,)) for c in caches]),
+        seen=jnp.stack([c.seen for c in caches]),
+        is_int4=is_int4, B=B, is_pool=True,
+    )
+    if is_int4:
+        out["k_flat_q"] = cols("k_pool_q")
+        out["v_flat_q"] = cols("v_pool_q")
+        for dst, srcn in (("k_flat_s", "k_pool_s"), ("k_flat_z", "k_pool_z"),
+                          ("v_flat_s", "v_pool_s"), ("v_flat_z", "v_pool_z")):
+            out[dst] = cols(srcn)
+    else:
+        out["k_flat"] = cols("k_pool")
+        src_v = jnp.concatenate([c.v_pool for c in caches], axis=0)
+        out["v_flat"] = _merge_gather_rows(src_v, take_j, kept_j, off_j,
+                                           alloc)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _bofs_pool(bofs, off, alloc: int):
+    """Scatter the host-built (L, W) b*Hkv offsets into pool columns."""
+    L, W = bofs.shape
+    pool = jnp.zeros((1, alloc), jnp.int32)
+
+    def body(l, pool):
+        row = jax.lax.dynamic_index_in_dim(bofs, l, 0, keepdims=False)
+        return jax.lax.dynamic_update_slice(pool, row[None], (0, off[l]))
+
+    return jax.lax.fori_loop(0, L, body, pool)
+
+
 def _merged_decode(engine: Engine, states: Sequence[KVState],
                    first_tokens, max_steps: int,
                    stop_on_eos: bool = True, queries=None):
@@ -251,9 +383,11 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
     L = cfg.num_layers
     eos = jnp.asarray(engine.eos_ids, jnp.int32)
     q8 = (engine.attn_quant == "int8"
-          and isinstance(states[0].cache, FlatInt4KV))
+          and isinstance(states[0].cache, (FlatInt4KV, PoolInt4KV)))
     interp = jax.default_backend() == "cpu"
-    m = _merge_flat([st.cache for st in states])
+    is_pool = isinstance(states[0].cache, (PoolKV, PoolInt4KV))
+    m = (_merge_pool if is_pool else _merge_flat)(
+        [st.cache for st in states])
     is_int4 = m["is_int4"]
     scale = cfg.query_scale if cfg.query_scale is not None else Dh ** -0.5
 
@@ -270,6 +404,11 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
                      m["v_flat_q"], m["v_flat_s"], m["v_flat_z"])
     else:
         flat_args = (m["k_flat"], m["v_flat"])
+    if is_pool:
+        # per-layer segment metadata rides along with the frozen context
+        # arrays (jit args, never closures — tunnel 413 discipline)
+        flat_args = flat_args + (m["layer_off"], m["layer_rows"])
+        pool_kw = dict(align=m["align"], max_rows=m["max_rows"])
 
     def stack_fwd(params, toks, seen, tail_lens, k_tail, v_tail, flat,
                   row_head, T):
@@ -328,7 +467,21 @@ def _merged_decode(engine: Engine, states: Sequence[KVState],
             # kernel rows: (T, B*H) seq-major head axis
             q2 = (q.reshape(B, T, H, Dh).transpose(1, 0, 2, 3)
                   .reshape(T, B * H, Dh))
-            if is_int4:
+            if is_pool:
+                from kvzip_tpu.ops.pool_decode import (
+                    pool_decode_attend, pool_decode_attend_int4)
+                po, pr = flat[-2], flat[-1]
+                if is_int4:
+                    attn = pool_decode_attend_int4(
+                        q2, *flat[:-2], row_head, po, pr, kt, vt,
+                        tail_lens, li, scale=scale, interpret=interp,
+                        q8=q8, **pool_kw)
+                else:
+                    attn = pool_decode_attend(
+                        q2, *flat[:-2], row_head, po, pr, kt, vt,
+                        tail_lens, li, scale=scale, interpret=interp,
+                        **pool_kw)
+            elif is_int4:
                 attn = flat_decode_attend_int4(
                     q2, *flat, row_head, kt, vt, tail_lens,
                     scale=scale, interpret=interp, q8=q8, n_seq=B,
@@ -494,9 +647,9 @@ def _decode_segment(engine: Engine, states: Sequence[KVState],
     B = len(states)
     cfg = engine.config
 
-    if isinstance(states[0].cache, (FlatKV, FlatInt4KV)):
-        # merged-flat path: one kernel + one weight read per step for the
-        # whole batch; no EOS stop (the round loop owns retirement)
+    if isinstance(states[0].cache, _MERGEABLE):
+        # merged-flat/pool path: one kernel + one weight read per step for
+        # the whole batch; no EOS stop (the round loop owns retirement)
         tokens, _ = _merged_decode(engine, states,
                                    np.asarray(last_tokens, np.int32),
                                    n_steps, stop_on_eos=False)
@@ -554,11 +707,11 @@ def batched_generate(
     cfg = engine.config
     eos = jnp.asarray(engine.eos_ids, jnp.int32)
 
-    if isinstance(states[0].cache, (FlatKV, FlatInt4KV)) and \
+    if isinstance(states[0].cache, _MERGEABLE) and \
             engine.mesh is None:
-        # merged-flat path (single device): queries ingest BATCHED through
-        # the merged stack, then one kernel launch + one weight read per
-        # decode step for the whole batch
+        # merged-flat/pool path (single device): queries ingest BATCHED
+        # through the merged stack, then one kernel launch + one weight
+        # read per decode step for the whole batch
         for st in states:
             st.snapshot()
         tokens, n = _merged_decode(

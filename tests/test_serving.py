@@ -120,6 +120,93 @@ def test_batched_flat_w4a8_matches_sequential():
     assert bat_out == seq_out
 
 
+def test_batched_pool_matches_sequential():
+    """POOL (the default evict layout since round 4) contexts batch through
+    the merged-pool path: every request's live layer rows concatenate with
+    no inter-request padding, head ids shift to b*Hkv+h, one kernel launch
+    per step serves the batch. Parity vs sequential decode."""
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=5, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, flat_decode="on")
+
+    ctxs = CTXS + ["A third context about the color vermilion. " * 21]
+    states = [eng.prefill(c, prefill_chunk_size=300) for c in ctxs]
+    for st, r in zip(states, (0.5, 0.4, 0.6)):  # distinct pool geometries
+        eng.prune(st, r, "pair")
+
+    from kvzip_tpu.pool import PoolKV
+    assert all(isinstance(st.cache, PoolKV) for st in states)
+
+    queries = [eng.apply_template("What word is hidden?"),
+               eng.apply_template("Which number appears?"),
+               eng.apply_template("Which color is named?")]
+    seq_out = [eng.generate(q, st) for q, st in zip(queries, states)]
+    bat_out = batched_generate(eng, queries, states, max_new_tokens=5)
+    assert bat_out == seq_out
+    import jax
+    for st in states:
+        assert int(jax.device_get(st.cache.tail_len)) == 0
+
+
+def test_batched_pool_int4_matches_sequential():
+    """Merged-pool batching on the INT4 pool (quantized scales/zeros merge
+    with the nibble columns)."""
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=5, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, flat_decode="on", kv_quant="int4")
+
+    states = [eng.prefill(c, prefill_chunk_size=300) for c in CTXS]
+    for st, r in zip(states, (0.5, 0.6)):
+        eng.prune(st, r, "pair")
+
+    from kvzip_tpu.pool import PoolInt4KV
+    assert all(isinstance(st.cache, PoolInt4KV) for st in states)
+
+    queries = [eng.apply_template("What word is hidden?"),
+               eng.apply_template("Which number appears?")]
+    seq_out = [eng.generate(q, st) for q, st in zip(queries, states)]
+    bat_out = batched_generate(eng, queries, states, max_new_tokens=5)
+    assert bat_out == seq_out
+
+
+def test_continuous_batching_pool():
+    """run_continuous over pool states (the default layout): retirement +
+    mid-flight admission, outputs match sequential."""
+    from kvzip_tpu.serving import Scheduler
+
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg,
+                 dtype=jnp.float32, max_new_tokens=8, decode_budget=256,
+                 capacity_granularity=256, score_chunk_size=256,
+                 flat_decode="on")
+
+    ctxs = CTXS + ["A third context about the color vermilion. " * 21]
+    states = [eng.prefill(c, prefill_chunk_size=300) for c in ctxs]
+    for st, r in zip(states, (0.5, 0.4, 0.6)):
+        eng.prune(st, r, "pair")
+    queries = [eng.apply_template(q) for q in (
+        "What word is hidden?", "Which number appears?",
+        "Which color is named?")]
+    budgets = [3, 8, 5]
+
+    want = [eng.generate(q, st, max_new_tokens=mn)
+            for q, st, mn in zip(queries, states, budgets)]
+
+    sched = Scheduler(eng, max_batch=2)
+    for q, st, mn in zip(queries, states, budgets):
+        sched.submit(q, st, max_new_tokens=mn)
+    got = sched.run_continuous(segment=4)
+    assert got == want
+    import jax
+    for st in states:
+        assert int(jax.device_get(st.cache.tail_len)) == 0
+
+
 def test_continuous_batching_admission():
     """run_continuous: sequences retire mid-flight and queued requests are
     admitted into freed slots; outputs match sequential generation."""
