@@ -802,10 +802,18 @@ class Engine:
             raise ValueError("save_state supports pool caches (post-prune)")
         base = path[:-4] if path.endswith(".npz") else path
         arrays = {}
+        dtypes = {}
         for f in dataclasses.fields(cache):
             v = getattr(cache, f.name)
             if isinstance(v, jax.Array):
-                arrays[f.name] = np.asarray(jax.device_get(v))
+                a = np.asarray(jax.device_get(v))
+                dtypes[f.name] = str(jnp.dtype(a.dtype).name)
+                if a.dtype == jnp.bfloat16:
+                    # numpy persists ml_dtypes.bfloat16 as a void ("|V2")
+                    # descriptor that np.load cannot hand back to JAX —
+                    # store the raw bits as uint16 and record the dtype
+                    a = a.view(np.uint16)
+                arrays[f.name] = a
         np.savez(base + ".npz", **arrays)
         meta = dict(
             kind="PoolInt4KV" if isinstance(cache, PoolInt4KV) else "PoolKV",
@@ -813,6 +821,7 @@ class Engine:
             model=self.name, kv_type=state.kv_type, sink=state.sink,
             ctx_len=state.ctx_len, prefill_len=state.prefill_len,
             dtype=str(jnp.dtype(self.dtype).name),
+            array_dtypes=dtypes,
         )
         with open(base + ".json", "w") as f:
             json.dump(meta, f)
@@ -833,7 +842,21 @@ class Engine:
                 f"{self.name!r}")
         cls = PoolInt4KV if meta["kind"] == "PoolInt4KV" else PoolKV
         data = np.load(base + ".npz")
-        kwargs = {k: jnp.asarray(v) for k, v in data.items()}
+        adt = meta.get("array_dtypes", {})
+
+        def rehydrate(k, v):
+            want = adt.get(k)
+            if want and str(v.dtype) != want:
+                # bfloat16 persisted as raw uint16 bits (see save_state);
+                # jnp.dtype resolves ml_dtypes names numpy alone cannot
+                v = v.view(jnp.dtype(want))
+            elif v.dtype.kind == "V" and v.dtype.itemsize == 2:
+                # artifact from before array_dtypes: numpy stored
+                # ml_dtypes.bfloat16 as an opaque void-2 descriptor
+                v = v.view(jnp.dtype("bfloat16"))
+            return jnp.asarray(v)
+
+        kwargs = {k: rehydrate(k, v) for k, v in data.items()}
         cache = cls(**kwargs, align=int(meta["align"]),
                     max_rows=int(meta["max_rows"]))
         state = KVState(

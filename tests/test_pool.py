@@ -359,10 +359,14 @@ def test_pool_refold_matches_unfolded_attention():
                                    rtol=0.15, atol=0.15, err_msg=f"layer {l}")
 
 
-def test_pool_save_load_roundtrip(tmp_path):
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pool_save_load_roundtrip(tmp_path, dtype):
+    # bfloat16 matters: numpy persists ml_dtypes.bfloat16 as a void ("|V2")
+    # descriptor — the round-4 flagship's first saved-state load crashed on
+    # exactly this (bench_results/bench_r4_warm.log)
     cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
                       hidden_size=128)
-    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=dtype,
                  max_new_tokens=6, decode_budget=256, capacity_granularity=256,
                  score_chunk_size=256, kv_quant="int4", flat_decode="on")
     st = eng.prefill(CTX, prefill_chunk_size=300)
