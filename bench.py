@@ -298,8 +298,11 @@ def main():
     # stage's line is printed immediately; failures stay on stderr so the
     # last stdout line is always the best completed result.
     import subprocess
-    best = None
-    for cfg_i in LADDER:
+
+    def run_stage(cfg_i, timeout):
+        """Two attempts; only a TIMEOUT earns a retry (tunnel hangs are
+        transient and the second, jit-cache-warm attempt is cheap; a child
+        that completed with an error is deterministic)."""
         env = dict(os.environ,
                    BENCH_CHILD="1",
                    BENCH_MODEL=cfg_i["model"],
@@ -307,33 +310,55 @@ def main():
                    BENCH_WEIGHT_QUANT=cfg_i["wq"],
                    BENCH_KV_QUANT=cfg_i["kq"],
                    BENCH_EMBED_QUANT=cfg_i["eq"])
-        # two attempts per stage, but ONLY a timeout earns a retry: the
-        # axon tunnel occasionally hangs a whole process mid-phase (zero
-        # CPU, never returns) and the second, jit-cache-warm attempt is
-        # cheap. A child that *completed* with an error is deterministic —
-        # move on to the next stage instead.
         for attempt in range(2):
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
-                    env=env, stdout=subprocess.PIPE,
-                    timeout=cfg_i.get("timeout", 3300))
+                    env=env, stdout=subprocess.PIPE, timeout=timeout)
                 lines = proc.stdout.decode().strip().splitlines()
                 out = json.loads(lines[-1]) if lines else None
                 if out and out.get("value", 0) > 0:
-                    best = out
-                    print(json.dumps(best), flush=True)
-                else:
-                    log(f"stage {cfg_i['model']}/{cfg_i['ctx']} failed: "
-                        f"{out.get('error') if out else 'no output'}")
-                break
+                    return out
+                log(f"stage {cfg_i['model']}/{cfg_i['ctx']} failed: "
+                    f"{out.get('error') if out else 'no output'}")
+                return None
             except subprocess.TimeoutExpired as e:
                 log(f"stage {cfg_i['model']}/{cfg_i['ctx']} timed out "
                     f"(attempt {attempt + 1}): {e}")
             except Exception:
                 import traceback
                 traceback.print_exc(file=sys.stderr)
+                return None
+        return None
+
+    def has_state(cfg_i):
+        base = _state_base(cfg_i["model"], cfg_i["ctx"], cfg_i["wq"],
+                           cfg_i["kq"], cfg_i["eq"], ratio)
+        return (os.path.exists(base + ".npz")
+                and os.path.exists(base + ".json"))
+
+    # FLAGSHIP-FIRST fast path: when the best stage already has a saved
+    # pruned state, benching it is minutes (state load + decode), so run
+    # it immediately and STOP on success — the driver parses the LAST
+    # stdout line, and emitting cheaper stages afterwards would supersede
+    # the flagship number. On failure, fall through to the insurance
+    # ladder (cheap -> flagship) so a budget kill still leaves the best
+    # completed line on stdout.
+    if os.environ.get("BENCH_NO_SAVED_STATE") != "1":
+        for cfg_i in reversed(LADDER):
+            if has_state(cfg_i):
+                out = run_stage(cfg_i, timeout=2100)
+                if out:
+                    print(json.dumps(out), flush=True)
+                    return
                 break
+
+    best = None
+    for cfg_i in LADDER:
+        out = run_stage(cfg_i, timeout=cfg_i.get("timeout", 3300))
+        if out:
+            best = out
+            print(json.dumps(best), flush=True)
     if best is None:
         print(json.dumps({"metric": "bench failed", "value": 0, "unit": "",
                           "vs_baseline": 0, "error": "all stages failed"}),
