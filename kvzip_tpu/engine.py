@@ -141,6 +141,9 @@ class Engine:
         attn_quant: str = "none",    # "none" | "int8" (flat-decode s8 dots)
         act_fused: str = "xla",      # "xla" | "pallas" (fused W8A8
                                      # RMSNorm-quant / SiLU-mul-quant kernels)
+        scoring_attend: str = "full",  # "full" (reference parity) |
+                                       # "window" (O(ctx·window) approx —
+                                       # ops/attention.py::windowed_scoring_attend)
         mesh=None,
         seq_parallel: bool = False,  # ring-attention prefill over mesh "data"
         seed: int = 0,
@@ -170,6 +173,13 @@ class Engine:
         self.weight_quant = weight_quant
         self.flat_decode = flat_decode
         self.attn_quant = attn_quant
+        if scoring_attend not in ("full", "window"):
+            raise ValueError(f"scoring_attend: {scoring_attend!r}")
+        if scoring_attend == "window" and self.config.is_hybrid:
+            raise ValueError(
+                "scoring_attend='window' is not supported for hybrid "
+                "(gemma3) models — their scoring runs in forward_hybrid")
+        self.scoring_attend = scoring_attend
         self.seq_parallel = seq_parallel
         # loader policy lives in params.prepare_params (checkpoint / init /
         # passed-in x quantization forms, all conversion paths chunked)
@@ -544,7 +554,7 @@ class Engine:
                 score_len=jnp.asarray(len(a_ids), jnp.int32),
                 score_qlen=jnp.asarray(n_q, jnp.int32),
                 score_width=self.score_width, sink=state.sink,
-                attn_impl=impl)
+                attn_impl=impl, scoring_attend=self.scoring_attend)
             state.cache = res.cache
             score = _place_scores(score, res.chunk_scores,
                                   jnp.asarray(start - state.sink, jnp.int32),

@@ -37,7 +37,8 @@ from kvzip_tpu.ops import attention as attn_ops
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "collect_logits", "scoring", "score_width", "sink", "attn_impl"),
+        "cfg", "collect_logits", "scoring", "score_width", "sink",
+        "attn_impl", "scoring_attend"),
     donate_argnames=("cache",),
 )
 def forward_hybrid(
@@ -54,6 +55,8 @@ def forward_hybrid(
     score_width: int = 0,
     sink: int = 0,
     attn_impl: str = "dense",
+    scoring_attend: str = "full",  # hybrid scoring is always full-cache
+                                   # (Engine rejects "window" for gemma3)
 ) -> ForwardResult:
     T = ids.shape[0]
     L, Hkv = cfg.num_layers, cfg.num_kv_heads

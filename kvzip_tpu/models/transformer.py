@@ -113,7 +113,8 @@ def _norm_lin_shared(x: jax.Array, norm_w, eps: float, gemma: bool,
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "collect_logits", "scoring", "score_width", "sink", "attn_impl"),
+        "cfg", "collect_logits", "scoring", "score_width", "sink",
+        "attn_impl", "scoring_attend"),
     donate_argnames=("cache",),
 )
 def forward(
@@ -130,6 +131,8 @@ def forward(
     score_width: int = 0,                      # static padded window width
     sink: int = 0,                             # static sink length (sys prompt)
     attn_impl: str = "dense",                  # "dense"|"blockwise"|"flash"|...
+    scoring_attend: str = "full",              # "full" | "window" (O(ctx·win)
+                                               # approx; attention.py docs)
 ) -> ForwardResult:
     T = ids.shape[0]
     is_int4 = isinstance(cache, Int4KVCache)
@@ -327,11 +330,46 @@ def forward(
         else:
             layer_score = jnp.zeros((Hkv, 0), dtype)
 
+        # -- windowed scoring attention (opt-in O(ctx·window) mode) --
+        win_attn_out = None
+        if scoring and scoring_attend == "window":
+            if is_int4:
+                vq_l, vs_l, vz_l = (layer_store[1], layer_store[4],
+                                    layer_store[5])
+                v_sink = dequantize_int4(
+                    jnp.swapaxes(vq_l[:, :, :sink], 1, 2), vs_l[:, :sink],
+                    vz_l[:, :sink], dtype, pack="split")
+                G4v = vs_l.shape[-1]
+                v_ctx = dequantize_int4(
+                    jnp.swapaxes(
+                        jax.lax.dynamic_slice(vq_l, (0, 0, score_start),
+                                              (Hkv, Dh // 2, score_width)),
+                        1, 2),
+                    jax.lax.dynamic_slice(vs_l, (0, score_start, 0),
+                                          (Hkv, score_width, G4v)),
+                    jax.lax.dynamic_slice(vz_l, (0, score_start, 0),
+                                          (Hkv, score_width, G4v)), dtype,
+                    pack="split")
+                # same quantize round-trip as the cache rows (and as k_rep)
+                v_rep = dequantize_int4(vq_r, vs_r, vz_r, dtype,
+                                        pack="split")
+            else:
+                v_cache = layer_store[1]
+                v_sink = v_cache[:, :sink]
+                v_ctx = jax.lax.dynamic_slice(
+                    v_cache, (0, score_start, 0), (Hkv, score_width, Dh))
+                v_rep = v
+            win_attn_out = attn_ops.windowed_scoring_attend(
+                q, k_sink, k_ctx, k_rep, v_sink, v_ctx, v_rep, score_len,
+                scale=scale, out_dtype=dtype)
+
         # -- attention over the cache --
         win = None
         if windows is not None:
             win = windows[layer_idx]
-        if is_pool:
+        if win_attn_out is not None:
+            attn_out = win_attn_out
+        elif is_pool:
             from kvzip_tpu.ops.pool_decode import (pool_decode_attend,
                                                    pool_decode_attend_int4)
             interp_flag = attn_impl == "flash_interpret"

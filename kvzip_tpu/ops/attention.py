@@ -337,3 +337,58 @@ def reconstruction_scores(
         ctx_probs = jnp.where(qrow[None, None] < q_valid, ctx_probs, 0.0)
     score = ctx_probs.max(axis=(1, 2))  # amax over (group, query) -> (Hkv, S_ctx)
     return score.astype(out_dtype)
+
+
+def windowed_scoring_attend(
+    q: jax.Array,          # (T, H, D) — repeat-pass queries (post-rope)
+    k_sink: jax.Array,     # (H_kv, S_sink, D)
+    k_ctx: jax.Array,      # (H_kv, S_ctx, D) — scored window chunk (padded)
+    k_rep: jax.Array,      # (T, H_kv, D) — repeat window's own keys
+    v_sink: jax.Array,
+    v_ctx: jax.Array,
+    v_rep: jax.Array,
+    ctx_len: jax.Array,    # () int32 — true chunk length (<= S_ctx)
+    *,
+    scale: float,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Attention OUTPUT of the scoring pass in WINDOWED mode: queries attend
+    only [sink ∥ scored window ∥ repeat] instead of the full cache.
+
+    This makes reconstruction scoring O(ctx · window) instead of O(ctx²) —
+    the exact-parity scoring forward runs a normal model forward over the
+    whole cache (reference `model/wrapper.py:223-249`), whose attention
+    FLOPs are intrinsically 2× the prefill's. Windowed mode is an OPT-IN
+    approximation (`Engine(scoring_attend="window")`): repeat queries see
+    less context, so hidden states — and therefore scores — deviate from
+    the reference except when one window covers the entire context (then
+    the key set is identical and so is everything downstream; tested).
+    Masking matches :func:`reconstruction_scores`: padded window columns
+    dropped, causal only on the trailing T×T block.
+    """
+    T, H, D = q.shape
+    Hkv = k_sink.shape[0]
+    G = H // Hkv
+    S_sink, S_ctx = k_sink.shape[1], k_ctx.shape[1]
+
+    qg = q.reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)  # (Hkv, G, T, D)
+    keys = jnp.concatenate(
+        [k_sink, k_ctx, jnp.swapaxes(k_rep, 0, 1)], axis=1)
+    vals = jnp.concatenate(
+        [v_sink, v_ctx, jnp.swapaxes(v_rep, 0, 1)], axis=1)
+
+    logits = jnp.einsum("hgtd,hkd->hgtk", qg.astype(jnp.float32),
+                        keys.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * scale
+    K = S_sink + S_ctx + T
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, K), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, K), 0)
+    causal_bad = (col >= S_sink + S_ctx) & (col - (S_sink + S_ctx) > row)
+    pad_bad = (col >= S_sink + ctx_len) & (col < S_sink + S_ctx)
+    logits = jnp.where((causal_bad | pad_bad)[None, None], NEG_INF, logits)
+    # f32 softmax — this is the model's attention (the flash kernels run an
+    # f32 online softmax), NOT the score hook's deliberate bf16 round-trip
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("hgtk,hkd->hgtd", probs, vals.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.transpose(2, 0, 1, 3).reshape(T, H, D).astype(out_dtype)

@@ -265,20 +265,38 @@ def build_pool_int4_stepped(cache: Int4KVCache, keep: jax.Array, sink: int,
     take, kept, lengths, off, alloc, C, max_rows = _plan(
         cache, keep, sink, align)
 
-    def step(fn, a):
+    # Donation of the dense sources is a best-effort hint XLA routinely
+    # CANNOT honor here (a (L,H,W,C) input cannot alias a (W,alloc)
+    # output — "donated buffers were not usable"). The real memory
+    # discipline is dropping each dense reference right after its gather:
+    # holding them all on the `cache` dataclass kept dense K resident
+    # through the V gather and OOMed the 480k head-level build
+    # (bench_results/demo_480k_head_r4.log).
+    seen = cache.seen
+    srcs = dict(k_s=cache.k_s, k_z=cache.k_z, v_s=cache.v_s, v_z=cache.v_z,
+                k_q=cache.k_q, v_q=cache.v_q)
+    # gut the input dataclass IN PLACE: the caller's state.cache still
+    # points at it until we return, so clearing our local alone would
+    # keep every dense array alive (the dense cache is CONSUMED)
+    for f in srcs:
+        setattr(cache, f, None)
+    cache = None
+
+    def step(fn, name):
+        a = srcs.pop(name)
         out = fn(a, take, kept, off, alloc)
+        del a
         jax.block_until_ready(out)
         return out
 
     # scales first: frees the small dense arrays before the big nibble moves
-    k_pool_s = step(_pool_gather_scale, cache.k_s)
-    k_pool_z = step(_pool_gather_scale, cache.k_z)
-    v_pool_s = step(_pool_gather_scale, cache.v_s)
-    v_pool_z = step(_pool_gather_scale, cache.v_z)
-    k_pool_q = step(_pool_gather_kt, cache.k_q)
-    v_pool_q = step(_pool_gather_kt, cache.v_q)
+    k_pool_s = step(_pool_gather_scale, "k_s")
+    k_pool_z = step(_pool_gather_scale, "k_z")
+    v_pool_s = step(_pool_gather_scale, "v_s")
+    v_pool_z = step(_pool_gather_scale, "v_z")
+    k_pool_q = step(_pool_gather_kt, "k_q")
+    v_pool_q = step(_pool_gather_kt, "v_q")
     row_head = _pool_row_head(take, kept, off, C, alloc)
-    seen = cache.seen
 
     return PoolInt4KV(
         k_pool_q=k_pool_q, v_pool_q=v_pool_q,
@@ -335,18 +353,30 @@ def build_pool_stepped(cache: KVCache, keep: jax.Array, sink: int,
     take, kept, lengths, off, alloc, C, max_rows = _plan(
         cache, keep, sink, align)
 
-    k_pool = _pool_gather_k_bf16(cache.k, take, kept, off, alloc)
+    # drop dense refs step-by-step (see build_pool_int4_stepped): donation
+    # cannot alias these shapes, so the reference IS the memory; gut the
+    # caller-visible dataclass too (dense cache CONSUMED)
+    seen = cache.seen
+    dtype = cache.k.dtype
+    k_src, v_src = cache.k, cache.v
+    cache.k = None
+    cache.v = None
+    cache = None
+
+    k_pool = _pool_gather_k_bf16(k_src, take, kept, off, alloc)
+    del k_src
     jax.block_until_ready(k_pool)
-    v_pool = _pool_gather_v_bf16(cache.v, take, kept, off, alloc)
+    v_pool = _pool_gather_v_bf16(v_src, take, kept, off, alloc)
+    del v_src
     jax.block_until_ready(v_pool)
     row_head = _pool_row_head(take, kept, off, C, alloc)
 
     return PoolKV(
         k_pool=k_pool, v_pool=v_pool, row_head=row_head, layer_off=off,
         layer_rows=lengths.sum(axis=1).astype(jnp.int32),
-        k_tail=jnp.zeros((L, H, tail_cap, D), cache.k.dtype),
-        v_tail=jnp.zeros((L, H, tail_cap, D), cache.k.dtype),
-        lengths=lengths, tail_len=jnp.zeros((), jnp.int32), seen=cache.seen,
+        k_tail=jnp.zeros((L, H, tail_cap, D), dtype),
+        v_tail=jnp.zeros((L, H, tail_cap, D), dtype),
+        lengths=lengths, tail_len=jnp.zeros((), jnp.int32), seen=seen,
         align=align, max_rows=max_rows)
 
 
