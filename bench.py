@@ -38,8 +38,16 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _scoring_attend():
+    return os.environ.get("BENCH_SCORING_ATTEND", "full")
+
+
 def _state_base(model, ctx, wq, kq, eq, ratio):
     tag = f"{model}_{ctx}_{wq}_{kq}_{eq}_r{ratio}".replace("/", "-")
+    if _scoring_attend() != "full":
+        # windowed scoring produces different scores -> different pruned
+        # state; never overwrite the exact-mode artifact
+        tag += f"_{_scoring_attend()}"
     return os.path.join(STATE_DIR, tag)
 
 
@@ -119,7 +127,7 @@ def run(model_name: str, ctx_tokens: int, decode_tokens: int, ratio: float,
                  max_new_tokens=decode_tokens,
                  decode_budget=decode_tokens + 256,
                  weight_quant=weight_quant, kv_quant=kv_quant,
-                 embed_quant=embed_quant)
+                 embed_quant=embed_quant, scoring_attend=_scoring_attend())
     # benchmark decodes a fixed token count: disable EOS stopping
     eng.eos_ids = (-1,)
 
