@@ -45,7 +45,7 @@ def slope(fn, x, arrays, n1=2, n2=6):
     return (t2 - t1) / (n2 - n1)
 
 
-def probe(C, T, base, Hkv=4, G=7, tag=""):
+def probe(C, T, base, Hkv=4, G=7, tag="", block_q=256, block_k=512):
     H = Hkv * G
     key = jax.random.PRNGKey(0)
     k = jax.random.normal(key, (Hkv, C, D), jnp.bfloat16)
@@ -62,18 +62,33 @@ def probe(C, T, base, Hkv=4, G=7, tag=""):
 
     sec = slope(
         lambda o, *a: flash_attend_int4(
-            o, *a, jnp.asarray(base, jnp.int32), scale=SCALE), q, args)
-    gb = (base + T) * Hkv * (64 + 16) * 2 / 1e9  # kv bytes actually swept
-    print(f"[{tag}] C={C} T={T} base={base}: {sec * 1e3:.1f} ms/call, "
-          f"{flops / sec / 1e12:.1f} TF, {gb / sec:.0f} GB/s", flush=True)
+            o, *a, jnp.asarray(base, jnp.int32), scale=SCALE,
+            block_q=block_q, block_k=block_k), q, args)
+    print(f"[{tag}] C={C} T={T} base={base} BQ={block_q} BK={block_k}: "
+          f"{sec * 1e3:.1f} ms/call, {flops / sec / 1e12:.1f} TF",
+          flush=True)
     return sec
 
 
 if __name__ == "__main__":
-    # perf-floor cross-check (lane measured 89.3 TF here)
-    probe(65536, 8192, 65536 - 8192, tag="floor")
-    # 480k ladder chunks: early / mid / late
-    C480 = 482816
-    probe(C480, 16384, 16384, tag="early")
-    probe(C480, 16384, 245760, tag="mid")
-    probe(C480, 16384, 462848, tag="late")
+    import sys
+    if len(sys.argv) > 1 and sys.argv[1] == "bq":
+        # VERDICT r3 item 8 (prefill MFU): sweep block_q/block_k at the
+        # late-chunk 480k shape where most prefill time is spent
+        C480 = 482816
+        for bq, bk in ((256, 512), (384, 512), (512, 512), (256, 1024),
+                       (512, 1024)):
+            try:
+                probe(C480, 16384, 462848, tag=f"bq{bq}/bk{bk}",
+                      block_q=bq, block_k=bk)
+            except Exception as e:
+                print(f"[bq{bq}/bk{bk}] failed: {type(e).__name__} {e}",
+                      flush=True)
+    else:
+        # perf-floor cross-check (lane measured 89.3 TF here)
+        probe(65536, 8192, 65536 - 8192, tag="floor")
+        # 480k ladder chunks: early / mid / late
+        C480 = 482816
+        probe(C480, 16384, 16384, tag="early")
+        probe(C480, 16384, 245760, tag="mid")
+        probe(C480, 16384, 462848, tag="late")
