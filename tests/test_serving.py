@@ -173,6 +173,36 @@ def test_batched_pool_int4_matches_sequential():
     assert bat_out == seq_out
 
 
+def test_batched_pool_mixed_aligns():
+    """Requests whose pools were built at DIFFERENT align tiers (short ctx
+    -> 128, longer ctx -> 8192; engine._pool_align) merge at the max
+    align with replanned offsets — parity vs sequential decode."""
+    import jax
+
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=jnp.float32,
+                 max_new_tokens=5, decode_budget=256, capacity_granularity=256,
+                 score_chunk_size=256, flat_decode="on")
+
+    long_ctx = ("Chronicle entry: the dam at Verlan holds 9200 megaliters. "
+                * 90)  # ~2.5k tokens -> align tier 8192
+    states = [eng.prefill(CTXS[0], prefill_chunk_size=300),
+              eng.prefill(long_ctx, prefill_chunk_size=300)]
+    for st, r in zip(states, (0.5, 0.4)):
+        eng.prune(st, r, "pair")
+    aligns = {st.cache.align for st in states}
+    assert len(aligns) == 2, f"expected mixed aligns, got {aligns}"
+
+    queries = [eng.apply_template("What word is hidden?"),
+               eng.apply_template("How many megaliters?")]
+    seq_out = [eng.generate(q, st) for q, st in zip(queries, states)]
+    bat_out = batched_generate(eng, queries, states, max_new_tokens=5)
+    assert bat_out == seq_out
+    for st in states:
+        assert int(jax.device_get(st.cache.tail_len)) == 0
+
+
 def test_continuous_batching_pool():
     """run_continuous over pool states (the default layout): retirement +
     mid-flight admission, outputs match sequential."""
