@@ -355,7 +355,13 @@ def main():
     if os.environ.get("BENCH_NO_SAVED_STATE") != "1":
         for cfg_i in reversed(LADDER):
             if has_state(cfg_i):
-                out = run_stage(cfg_i, timeout=2100)
+                # warm budget: the stage's own timeout, overridable — a
+                # healthy-but-slow warm run must not be killed into paying
+                # the full cold ladder (ADVICE r4); tunnel upload speed
+                # alone varies 4-30 MB/s on multi-GB states
+                warm = int(os.environ.get(
+                    "BENCH_WARM_TIMEOUT", cfg_i.get("timeout", 3300)))
+                out = run_stage(cfg_i, timeout=warm)
                 if out:
                     print(json.dumps(out), flush=True)
                     return

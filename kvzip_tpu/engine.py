@@ -677,14 +677,23 @@ class Engine:
                                             build_pool_stepped)
 
                 align = self._pool_align(state)
-                if isinstance(state.cache, Int4KVCache):
-                    state.cache = build_pool_int4_stepped(
-                        state.cache, keep, state.sink, self.decode_budget,
-                        self.dtype, align=align)
-                else:
-                    state.cache = build_pool_stepped(
-                        state.cache, keep, state.sink, self.decode_budget,
-                        align=align)
+                try:
+                    if isinstance(state.cache, Int4KVCache):
+                        state.cache = build_pool_int4_stepped(
+                            state.cache, keep, state.sink,
+                            self.decode_budget, self.dtype, align=align)
+                    else:
+                        state.cache = build_pool_stepped(
+                            state.cache, keep, state.sink,
+                            self.decode_budget, align=align)
+                except BaseException as e:
+                    # the builders consume the dense cache array-by-array;
+                    # leave a sentinel that says so instead of a half-gutted
+                    # dataclass raising NoneType errors (ADVICE r4)
+                    from kvzip_tpu.pool import ConsumedCache
+                    state.cache = ConsumedCache(
+                        f"{type(e).__name__}: {e}")
+                    raise
             else:
                 kept_rows = int(jax.device_get(
                     keep.sum(axis=-1).max())) + state.sink

@@ -472,7 +472,16 @@ def prepare_params(cfg: ModelConfig, model_name: str, *, dtype,
             lp = quantize_layer_stacks(lp, quantize_weight_int4)
         # fused qkv / gate-up stacks: single stacked-kernel launches with
         # one shared activation quant (no-op if already fused)
-        params["layers"] = fuse_w4a8_params(lp)
+        lp = fuse_w4a8_params(lp)
+        # v2 storage: byte rows trimmed to the true input dim (v1 group
+        # padding was 12% of the 7B decode weight read), scales split by
+        # nibble half + pre-folded for the column-blocked v2 kernel
+        from kvzip_tpu.ops.w4a8_v2 import repack_w4a8_layers
+        D, I = cfg.hidden_size, cfg.intermediate_size
+        att = cfg.num_heads * cfg.head_dim
+        params["layers"] = repack_w4a8_layers(
+            lp, {"wqkv": D, "wq": D, "wk": D, "wv": D, "wo": att,
+                 "w_gateup": D, "w_gate": D, "w_up": D, "w_down": I})
 
     if embed_quant == "int8" and not isinstance(params["embed"], dict):
         # halves the ~1.1 GB bf16 embed/lm_head tables of a 7B model — the

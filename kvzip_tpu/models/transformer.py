@@ -359,9 +359,20 @@ def forward(
                 v_ctx = jax.lax.dynamic_slice(
                     v_cache, (0, score_start, 0), (Hkv, score_width, Dh))
                 v_rep = v
-            win_attn_out = attn_ops.windowed_scoring_attend(
-                q, k_sink, k_ctx, k_rep, v_sink, v_ctx, v_rep, score_len,
-                scale=scale, out_dtype=dtype)
+            if attn_impl in ("flash", "flash_q8"):
+                # fused Pallas path: keys/vals stream through VMEM instead
+                # of materializing the (G, T, K) f32 logits+probs in HBM
+                # (~1.1 GB/layer/chunk at 7B — the reason the jnp path
+                # realized only ~1.2x of windowed mode's ~10x FLOPs win)
+                from kvzip_tpu.ops.windowed_attend import (
+                    windowed_scoring_attend_fused)
+                win_attn_out = windowed_scoring_attend_fused(
+                    q, k_sink, k_ctx, k_rep, v_sink, v_ctx, v_rep,
+                    score_len, scale=scale, out_dtype=dtype)
+            else:
+                win_attn_out = attn_ops.windowed_scoring_attend(
+                    q, k_sink, k_ctx, k_rep, v_sink, v_ctx, v_rep,
+                    score_len, scale=scale, out_dtype=dtype)
 
         # -- attention over the cache --
         win = None

@@ -365,6 +365,15 @@ def windowed_scoring_attend(
     the key set is identical and so is everything downstream; tested).
     Masking matches :func:`reconstruction_scores`: padded window columns
     dropped, causal only on the trailing T×T block.
+
+    Padded QUERY rows (``q`` rows beyond the true repeat length) are
+    deliberately left unmasked, unlike ``reconstruction_scores``'s
+    ``q_valid`` handling: their outputs are attention over real keys and
+    therefore finite, and the engine discards those rows' hidden states
+    (the scoring pass restores the cache snapshot and only
+    ``chunk_scores`` — which IS q_valid-masked — leaves the forward). Any
+    future consumer of the full windowed attention output must mask rows
+    ``>= q_valid`` itself (ADVICE r4).
     """
     T, H, D = q.shape
     Hkv = k_sink.shape[0]

@@ -372,7 +372,11 @@ def _w4a8_dequant_matmul(x: jax.Array, w: dict, layer: jax.Array,
 
     wl = {k: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
           for k, v in w.items()}
-    deq = dequantize_weight_int4(wl, jnp.bfloat16)       # (INp, OUT)
+    if "s2" in wl:
+        from kvzip_tpu.ops.w4a8_v2 import dequantize_weight_int4_v2
+        deq = dequantize_weight_int4_v2(wl, jnp.bfloat16)  # (IN, OUT)
+    else:
+        deq = dequantize_weight_int4(wl, jnp.bfloat16)     # (INp, OUT)
     xq, xs = quantize_act_int8(x)
     INp = deq.shape[0]
     if INp != x.shape[-1]:
@@ -390,14 +394,24 @@ def w4a8_linear_stacked(x: jax.Array, w: dict, layer: jax.Array,
 
     Decode/small-T goes through the fused Pallas kernel (weight-read bound);
     prefill/scoring shapes take the dequant-then-matmul route (MXU bound).
-    CPU fallback dequantizes just that layer (tests / interpret lanes)."""
+    CPU fallback dequantizes just that layer (tests / interpret lanes).
+    v2 storage ({"q4","s2","z2"}: trimmed bytes + pre-folded scales, see
+    ops/w4a8_v2.py) routes to the column-blocked v2 kernel."""
+    is_v2 = "s2" in w
     if jax.default_backend() == "cpu":
         wl = {k: jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
               for k, v in w.items()}
+        if is_v2:
+            from kvzip_tpu.ops.w4a8_v2 import w4a8_jnp_v2
+            return w4a8_jnp_v2(x, wl, bias)
         return _w4a8_jnp(x, wl, bias)
     if x.shape[0] >= DEQUANT_T:
         return _w4a8_dequant_matmul(x, w, layer, bias)
-    y = w4a8_matmul_stacked(x, w["q4"], w["s"], w["z"], layer)
+    if is_v2:
+        from kvzip_tpu.ops.w4a8_v2 import w4a8_matmul_stacked_v2
+        y = w4a8_matmul_stacked_v2(x, w["q4"], w["s2"], w["z2"], layer)
+    else:
+        y = w4a8_matmul_stacked(x, w["q4"], w["s"], w["z"], layer)
     return y if bias is None else y + bias
 
 

@@ -151,6 +151,23 @@ class PoolKV:
         return float(rows * d * self.k_pool.dtype.itemsize * 2)
 
 
+class ConsumedCache:
+    """Sentinel the engine leaves in ``state.cache`` when a pool build dies
+    mid-way: the builders gut the dense cache array-by-array (that IS the
+    memory discipline that lets 480k fit), so after a failure the dense
+    state is gone. Any attribute access explains that instead of surfacing
+    an opaque ``NoneType`` error (ADVICE r4)."""
+
+    def __init__(self, note: str):
+        object.__setattr__(self, "_note", note)
+
+    def __getattr__(self, name):
+        raise RuntimeError(
+            "the dense KV cache was consumed by a pool build that then "
+            f"failed ({object.__getattribute__(self, '_note')}); the state "
+            "is unusable — re-run prefill")
+
+
 # --------------------------------------------------------------- planning
 def plan_offsets(per_layer_rows: np.ndarray, align: int
                  ) -> Tuple[np.ndarray, int, int, int]:

@@ -283,6 +283,18 @@ def _merge_pool(caches: Sequence) -> dict:
     B = len(caches)
     L = caches[0].num_layers
     Hkv = caches[0].k_tail.shape[1]
+    # caches built by one engine always agree on these; a mixed batch
+    # would otherwise fail deep inside a concatenate with an opaque shape
+    # error (ADVICE r4)
+    for b, c in enumerate(caches):
+        got = (type(c).__name__, c.num_layers, c.k_tail.shape[1],
+               c.k_tail.shape[2])
+        want = (type(caches[0]).__name__, L, Hkv, caches[0].k_tail.shape[2])
+        if got != want:
+            raise ValueError(
+                f"merge_pool: request {b} cache (kind/L/Hkv/tail_cap)="
+                f"{got} does not match request 0 {want}; batch requests "
+                "must come from the same engine configuration")
     align = max(c.align for c in caches)
 
     rows = np.stack([np.asarray(jax.device_get(c.layer_rows))

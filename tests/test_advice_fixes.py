@@ -115,3 +115,48 @@ def test_w8a8_with_mesh():
     np.testing.assert_allclose(
         np.asarray(jax.device_get(st.score)),
         np.asarray(jax.device_get(st_ref.score)), rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_consumed_cache_sentinel_on_failed_pool_build(monkeypatch):
+    """(low r4) A pool build that dies mid-way has already gutted the dense
+    cache; state.cache must then raise a descriptive error, not NoneType."""
+    from kvzip_tpu import engine as engine_mod
+    from kvzip_tpu.pool import ConsumedCache
+
+    cfg = tiny_config("llama")
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg,
+                 dtype=jnp.float32, max_new_tokens=4, decode_budget=256,
+                 capacity_granularity=256, score_chunk_size=256,
+                 flat_decode="on", seed=0)
+    ids = np.arange(200, dtype=np.int32) % (cfg.vocab_size - 2) + 1
+    st = eng.prefill(ids, prefill_chunk_size=128)
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic OOM")
+
+    import kvzip_tpu.pool as pool_mod
+    monkeypatch.setattr(pool_mod, "build_pool_stepped", boom)
+    with pytest.raises(RuntimeError, match="synthetic OOM"):
+        eng.prune(st, 0.5, "pair")
+    assert isinstance(st.cache, ConsumedCache)
+    with pytest.raises(RuntimeError, match="consumed by a pool build"):
+        _ = st.cache.k
+    with pytest.raises(RuntimeError, match="re-run prefill"):
+        st.cache.mem_bytes()
+
+
+def test_merge_pool_rejects_mismatched_caches():
+    """(low r4) _merge_pool must name the mismatch up front instead of
+    failing deep inside a concatenate."""
+    from kvzip_tpu.pool import synthetic_full_pool
+    from kvzip_tpu.serving import _merge_pool
+
+    a = synthetic_full_pool(2, 2, 128, per_head_rows=64, tail_cap=16,
+                            int4=False, align=128)
+    b = synthetic_full_pool(2, 2, 128, per_head_rows=64, tail_cap=32,
+                            int4=False, align=128)
+    with pytest.raises(ValueError, match="request 1 .*does not match"):
+        _merge_pool([a, b])
