@@ -204,6 +204,11 @@ class Engine:
         self.eos_ids = tuple(_eos)
         self.set_chat_template()
         self._decode_fns = {}
+        # per-layer fused W4A8 decode megakernel (ops/w4a8_fused.py):
+        # "auto" (on-chip when shapes allow) | "on" (also CPU interpret,
+        # tests) | "off". Resolved once — it is a static jit key.
+        import os as _os
+        self.fuse_layer = _os.environ.get("KVZIP_MEGAKERNEL", "auto")
 
     # ------------------------------------------------------------------ text
     def encode(self, text: str) -> np.ndarray:
@@ -234,17 +239,29 @@ class Engine:
             return forward_hybrid
         return forward
 
+    def _pool_tp_ok(self) -> bool:
+        """Per-shard pools (parallel/pool_tp.py) apply when kv heads split
+        evenly over the "model" axis; legacy flat has no TP form."""
+        if self.mesh is None:
+            return True
+        return ("model" in self.mesh.axis_names
+                and self.config.num_kv_heads % self.mesh.shape["model"] == 0
+                and self.flat_decode != "legacy")
+
     def _use_flat(self, state: "KVState") -> bool:
         """Build the flat/pool decode cache at prune time? (evict path;
         bf16 or int4-with-one-group-per-row KV; 128-aligned head_dim).
-        ``flat_decode="legacy"`` forces the round-3 uniform-r_pad layout."""
+        ``flat_decode="legacy"`` forces the round-3 uniform-r_pad layout.
+        Under a mesh the pool builds per-shard (VERDICT r4 item 3)."""
         if self.flat_decode == "off":
             return False
         if self.kv_quant == "int4" and self.config.head_dim != 128:
             return False  # int4 flat kernel needs one quant group per row
+        if self.mesh is not None and not self._pool_tp_ok():
+            return False
         if self.flat_decode in ("on", "legacy"):
             return True
-        return (self.mesh is None and self.config.head_dim % 128 == 0
+        return (self.config.head_dim % 128 == 0
                 and jax.default_backend() != "cpu")
 
     def _pool_align(self, state: "KVState") -> int:
@@ -320,6 +337,11 @@ class Engine:
             cur = int(jax.device_get(cache.tail_len))
             if cur + need <= cap:
                 return
+            if getattr(cache, "tp", 0):
+                raise NotImplementedError(
+                    "tail refold of a tensor-parallel pool is not "
+                    "implemented; raise decode_budget so committed turns "
+                    "fit the tail, or serve this context single-device")
             state.cache = refold_pool(cache)
             state.snapshot()
             return
@@ -401,7 +423,8 @@ class Engine:
                 "last" if pos == len(ids) and collect == "last" else "none")
             res = self._fwd_fn(state.cache)(
                 self.params, self.config, chunk, state.cache,
-                collect_logits=want, sink=state.sink, attn_impl=impl)
+                collect_logits=want, sink=state.sink, attn_impl=impl,
+                fuse_layer=self.fuse_layer)
             state.cache = res.cache
             if res.logits is not None:
                 logits_parts.append(res.logits)
@@ -678,7 +701,15 @@ class Engine:
 
                 align = self._pool_align(state)
                 try:
-                    if isinstance(state.cache, Int4KVCache):
+                    if self.mesh is not None:
+                        # per-shard pools over local kv heads; decode runs
+                        # the same kernels under shard_map (pool_tp.py)
+                        from kvzip_tpu.parallel.pool_tp import build_pool_tp
+                        state.cache = build_pool_tp(
+                            state.cache, keep, state.sink,
+                            self.decode_budget, self.dtype, align=align,
+                            mesh=self.mesh)
+                    elif isinstance(state.cache, Int4KVCache):
                         state.cache = build_pool_int4_stepped(
                             state.cache, keep, state.sink,
                             self.decode_budget, self.dtype, align=align)
@@ -819,6 +850,10 @@ class Engine:
         cache = state.cache
         if not isinstance(cache, (PoolKV, PoolInt4KV)):
             raise ValueError("save_state supports pool caches (post-prune)")
+        if getattr(cache, "tp", 0):
+            raise ValueError(
+                "save_state persists single-device pools; a TP pool's "
+                "geometry is mesh-specific — prune without a mesh to save")
         base = path[:-4] if path.endswith(".npz") else path
         arrays = {}
         dtypes = {}
@@ -891,12 +926,14 @@ class Engine:
         # benches toggle engine.eos_ids=(-1,) to disable early stop, and a
         # stale cached fn would silently keep the old eos semantics
         # (ADVICE r2: the asymmetry understated pruned ms/token)
-        key = (max_steps, capacity, impl, tuple(self.eos_ids))
+        key = (max_steps, capacity, impl, tuple(self.eos_ids),
+               self.fuse_layer)
         if key in self._decode_fns:
             return self._decode_fns[key]
 
         cfg = self.config
         eos = jnp.asarray(self.eos_ids, jnp.int32)
+        fuse_layer = self.fuse_layer
 
         # the flat context arrays are FROZEN during decode — keep them OUT of
         # the while_loop carry (an invariant multi-GB carry risks a
@@ -933,7 +970,8 @@ class Engine:
                 c = as_cache(mut)
                 res = Engine._fwd_fn(c)(
                     params, cfg, tokens[i][None], c,
-                    collect_logits="last", attn_impl=impl)
+                    collect_logits="last", attn_impl=impl,
+                    fuse_layer=fuse_layer)
                 nxt = jnp.argmax(res.logits[-1]).astype(jnp.int32)
                 tokens = tokens.at[i + 1].set(nxt)
                 done = jnp.any(nxt == eos)

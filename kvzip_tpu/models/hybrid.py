@@ -38,7 +38,7 @@ from kvzip_tpu.ops import attention as attn_ops
     jax.jit,
     static_argnames=(
         "cfg", "collect_logits", "scoring", "score_width", "sink",
-        "attn_impl", "scoring_attend"),
+        "attn_impl", "scoring_attend", "fuse_layer"),
     donate_argnames=("cache",),
 )
 def forward_hybrid(
@@ -57,6 +57,8 @@ def forward_hybrid(
     attn_impl: str = "dense",
     scoring_attend: str = "full",  # hybrid scoring is always full-cache
                                    # (Engine rejects "window" for gemma3)
+    fuse_layer: str = "auto",      # accepted for forward-signature parity;
+                                   # the W4A8 megakernel never applies here
 ) -> ForwardResult:
     T = ids.shape[0]
     L, Hkv = cfg.num_layers, cfg.num_kv_heads

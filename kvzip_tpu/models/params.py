@@ -483,7 +483,22 @@ def prepare_params(cfg: ModelConfig, model_name: str, *, dtype,
             lp, {"wqkv": D, "wq": D, "wk": D, "wv": D, "wo": att,
                  "w_gateup": D, "w_gate": D, "w_up": D, "w_down": I})
 
-    if embed_quant == "int8" and not isinstance(params["embed"], dict):
+    if embed_quant == "int4h":
+        # int8 embed + INT4 lm_head (group-128 asymmetric, W4A8-v2 kernel):
+        # shaves ~0.4 ms off the 7B decode-step constant on top of int8.
+        # Accuracy unvalidated without real checkpoints — opt-in only.
+        from kvzip_tpu.ops.quant import quantize_embed_int8, quantize_head_int4
+        params = dict(params)
+        if "lm_head" not in params:
+            raise ValueError(
+                "embed_quant='int4h' needs an untied lm_head (int4 input "
+                "embeddings would degrade token representations); use "
+                "'int8' for tied-embedding models")
+        if not isinstance(params["lm_head"], dict):
+            params["lm_head"] = quantize_head_int4(params["lm_head"], dtype)
+        if not isinstance(params["embed"], dict):
+            params["embed"] = quantize_embed_int8(params["embed"], dtype)
+    elif embed_quant == "int8" and not isinstance(params["embed"], dict):
         # halves the ~1.1 GB bf16 embed/lm_head tables of a 7B model — the
         # 480k-ctx demo does not fit on 16 GB without this (QServe keeps
         # them fp16, so this is opt-in)

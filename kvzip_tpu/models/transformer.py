@@ -114,7 +114,7 @@ def _norm_lin_shared(x: jax.Array, norm_w, eps: float, gemma: bool,
     jax.jit,
     static_argnames=(
         "cfg", "collect_logits", "scoring", "score_width", "sink",
-        "attn_impl", "scoring_attend"),
+        "attn_impl", "scoring_attend", "fuse_layer"),
     donate_argnames=("cache",),
 )
 def forward(
@@ -133,6 +133,8 @@ def forward(
     attn_impl: str = "dense",                  # "dense"|"blockwise"|"flash"|...
     scoring_attend: str = "full",              # "full" | "window" (O(ctx·win)
                                                # approx; attention.py docs)
+    fuse_layer: str = "auto",                  # "auto"|"on"|"off" — per-layer
+                                               # fused W4A8 decode megakernel
 ) -> ForwardResult:
     T = ids.shape[0]
     is_int4 = isinstance(cache, Int4KVCache)
@@ -203,6 +205,106 @@ def forward(
         cache_arrays = (cache.k_tail, cache.v_tail)
     else:
         cache_arrays = (cache.k, cache.v)
+
+    # Per-layer fused megakernel (decode only): ONE launch for o-proj +
+    # residual + MLP + residual + next layer's norm+qkv — a 28-layer 7B
+    # decode step pays ~17 us of fixed pipeline/dispatch cost per Pallas
+    # launch (tools/probe_w4a8_v2.py), so launch count, not bandwidth, is
+    # the post-v2 bottleneck. Gated to the shapes it supports; the first
+    # layer's qkv comes from one composed call before the scan.
+    use_mega = (
+        fuse_layer != "off"
+        and not scoring and is_flat and T <= 8
+        and not getattr(cache, "tp", 0)
+        and attn_impl in ("flash", "flash_q8", "flash_interpret")
+        and (jax.default_backend() != "cpu" or fuse_layer == "on")
+        and all(k in w4 for k in ("wqkv", "wo", "w_gateup", "w_down"))
+        and all("s2" in w4[k] for k in ("wqkv", "wo", "w_gateup", "w_down"))
+        and not cfg.post_norms and not cfg.gemma_style_norm
+        and cfg.rope_local is None)
+    if use_mega:
+        ln_attn_stack = lp["ln_attn"][:, None, :]
+        ln_mlp_stack = lp["ln_mlp"][:, None, :]
+
+    def _cache_attend_flat(q, layer_store, layer_idx):
+        """Pool/flat decode attention dispatch (shared by both layer fns)."""
+        interp_flag = attn_impl == "flash_interpret"
+        if is_pool and getattr(cache, "tp", 0):
+            # per-shard pools over local kv heads (parallel/pool_tp.py):
+            # each "model" shard runs the same single-device kernel on its
+            # own pool segment — attention stays collective-free under TP
+            from kvzip_tpu.parallel.pool_tp import pool_attend_tp
+            return pool_attend_tp(
+                q, cache, layer_store[0], layer_store[1], tail_len0,
+                layer_idx, scale=scale, interpret=interp_flag,
+                q8=(attn_impl == "flash_q8"))
+        if is_pool:
+            from kvzip_tpu.ops.pool_decode import (pool_decode_attend,
+                                                   pool_decode_attend_int4)
+            if is_flat_int4:
+                return pool_decode_attend_int4(
+                    q, *flat_arrays, flat_rh_all,
+                    cache.layer_off, cache.layer_rows,
+                    layer_store[0], layer_store[1], tail_len0, layer_idx,
+                    scale=scale, align=cache.align, max_rows=cache.max_rows,
+                    interpret=interp_flag, q8=(attn_impl == "flash_q8"))
+            return pool_decode_attend(
+                q, *flat_arrays, flat_rh_all,
+                cache.layer_off, cache.layer_rows,
+                layer_store[0], layer_store[1], tail_len0, layer_idx,
+                scale=scale, align=cache.align, max_rows=cache.max_rows,
+                interpret=interp_flag)
+        from kvzip_tpu.ops.flat_decode import (flat_decode_attend,
+                                               flat_decode_attend_int4)
+        if is_flat_int4:
+            return flat_decode_attend_int4(
+                q, *flat_arrays, flat_rh_all,
+                layer_store[0], layer_store[1], tail_len0, scale=scale,
+                interpret=interp_flag, q8=(attn_impl == "flash_q8"),
+                layer=layer_idx)
+        return flat_decode_attend(
+            q, flat_arrays[0], flat_arrays[1],
+            flat_rh_all, layer_store[0], layer_store[1],
+            tail_len0, scale=scale, interpret=interp_flag, layer=layer_idx)
+
+    def layer_fn_mega(carry, xs):
+        from kvzip_tpu.ops.w4a8_fused import w4a8_layer_fused
+
+        x, qkv, *store = carry
+        (layer_params, layer_idx, is_static, base_lens, valid_l) = xs
+        nq, nk = H * Dh, Hkv * Dh
+        q, k, v = (qkv[:, :nq], qkv[:, nq:nq + nk], qkv[:, nq + nk:])
+        if "bq" in layer_params:
+            q = q + layer_params["bq"]
+            k = k + layer_params["bk"]
+            v = v + layer_params["bv"]
+        q = q.reshape(T, H, Dh)
+        k = k.reshape(T, Hkv, Dh)
+        v = v.reshape(T, Hkv, Dh)
+        if cfg.qk_norm:
+            q = _head_norm(q, layer_params["q_norm"], cfg.rms_norm_eps,
+                           cfg.gemma_style_norm)
+            k = _head_norm(k, layer_params["k_norm"], cfg.rms_norm_eps,
+                           cfg.gemma_style_norm)
+        q = apply_rope(q, cos_g, sin_g)
+        k = apply_rope(k, cos_g, sin_g)
+
+        layer_store = tuple(a[layer_idx] for a in store)
+        kt = jax.lax.dynamic_update_slice(
+            layer_store[0], jnp.swapaxes(k, 0, 1), (0, tail_len0, 0))
+        vt = jax.lax.dynamic_update_slice(
+            layer_store[1], jnp.swapaxes(v, 0, 1), (0, tail_len0, 0))
+        layer_store = (kt, vt)
+        store = [a.at[layer_idx].set(s)
+                 for a, s in zip(store, layer_store)]
+
+        attn_out = _cache_attend_flat(q, layer_store, layer_idx)
+        x, qkv_next = w4a8_layer_fused(
+            x, attn_out.reshape(T, H * Dh), ln_mlp_stack, ln_attn_stack,
+            w4["wo"], w4["w_gateup"], w4["w_down"], w4["wqkv"], layer_idx,
+            eps=cfg.rms_norm_eps,
+            interpret=jax.default_backend() == "cpu")
+        return (x, qkv_next, *store), jnp.zeros((Hkv, 0), dtype)
 
     def layer_fn(carry, xs):
         x, *store = carry
@@ -380,47 +482,11 @@ def forward(
             win = windows[layer_idx]
         if win_attn_out is not None:
             attn_out = win_attn_out
-        elif is_pool:
-            from kvzip_tpu.ops.pool_decode import (pool_decode_attend,
-                                                   pool_decode_attend_int4)
-            interp_flag = attn_impl == "flash_interpret"
-            # pool arrays closed over; the kernel's index maps select the
-            # layer's block range via prefetched scalars (no per-layer
-            # slice copy of the context, like the stacked flat kernels)
-            if is_flat_int4:
-                attn_out = pool_decode_attend_int4(
-                    q, *flat_arrays, flat_rh_all,
-                    cache.layer_off, cache.layer_rows,
-                    layer_store[0], layer_store[1], tail_len0, layer_idx,
-                    scale=scale, align=cache.align, max_rows=cache.max_rows,
-                    interpret=interp_flag, q8=(attn_impl == "flash_q8"))
-            else:
-                attn_out = pool_decode_attend(
-                    q, *flat_arrays, flat_rh_all,
-                    cache.layer_off, cache.layer_rows,
-                    layer_store[0], layer_store[1], tail_len0, layer_idx,
-                    scale=scale, align=cache.align, max_rows=cache.max_rows,
-                    interpret=interp_flag)
         elif is_flat:
-            from kvzip_tpu.ops.flat_decode import (flat_decode_attend,
-                                                   flat_decode_attend_int4)
-            interp_flag = attn_impl == "flash_interpret"
-            # stacked arrays + layer scalar: the kernel's index maps select
-            # the layer, so no a[layer_idx] dynamic-slice COPY of the
-            # multi-MB flat context is materialized per scan iteration
-            # (that copy tripled decode attention HBM traffic)
-            if is_flat_int4:
-                attn_out = flat_decode_attend_int4(
-                    q, *flat_arrays, flat_rh_all,
-                    layer_store[0], layer_store[1], tail_len0, scale=scale,
-                    interpret=interp_flag, q8=(attn_impl == "flash_q8"),
-                    layer=layer_idx)
-            else:
-                attn_out = flat_decode_attend(
-                    q, flat_arrays[0], flat_arrays[1],
-                    flat_rh_all, layer_store[0], layer_store[1],
-                    tail_len0, scale=scale, interpret=interp_flag,
-                    layer=layer_idx)
+            # pool/flat arrays closed over; the kernels' index maps select
+            # the layer's block range via prefetched scalars (no per-layer
+            # slice copy of the multi-MB context per scan iteration)
+            attn_out = _cache_attend_flat(q, layer_store, layer_idx)
         elif is_int4:
             kq_a, vq_a, ks_a, kz_a, vs_a, vz_a = layer_store
             # T >= 1: decode steps against a dense int4 cache (the
@@ -543,8 +609,15 @@ def forward(
                 else jnp.ones((L, 1, 1), jnp.bool_))
     xs = (lp, jnp.arange(L, dtype=jnp.int32), is_static_layers,
           cache.lengths, valid_xs)
-    (x, *cache_arrays), scores = jax.lax.scan(
-        layer_fn, (x, *cache_arrays), xs)
+    if use_mega:
+        from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+        h0 = rms_norm(x, lp["ln_attn"][0], cfg.rms_norm_eps)
+        qkv0 = w4a8_linear_stacked(h0, w4["wqkv"], jnp.int32(0))
+        (x, _, *cache_arrays), scores = jax.lax.scan(
+            layer_fn_mega, (x, qkv0, *cache_arrays), xs)
+    else:
+        (x, *cache_arrays), scores = jax.lax.scan(
+            layer_fn, (x, *cache_arrays), xs)
 
     if is_flat:
         new_cache = dataclasses.replace(

@@ -139,8 +139,34 @@ def embed_lookup(emb, ids: jax.Array):
     return emb[ids]
 
 
+def quantize_head_int4(head: jax.Array, model_dtype=jnp.bfloat16) -> dict:
+    """lm_head table (V, D) -> W4A8 v2 storage (1-layer stack).
+
+    Per-group-128 asymmetric int4 along D (the same geometry as the W4A8
+    projections): the 545 MB int8 head read of a 7B decode step (~0.85 ms
+    at the platform ceiling) drops to ~292 MB. CAUTION: logit noise does
+    NOT average out — per-weight int4 rounding is ~10% of a weight sigma,
+    and signal and noise both grow as sqrt(D), leaving ~10% relative logit
+    noise at any D (tests/test_quant.py measures it). That can flip argmax
+    on close decisions, so this stays opt-in (embed_quant="int4h") and OFF
+    the official bench config; int8 (~0.6% noise) is the validated-enough
+    default."""
+    from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+    from kvzip_tpu.ops.w4a8_v2 import repack_scales_v2
+
+    D = head.shape[1]
+    w = repack_scales_v2(quantize_weight_int4(head.T[None]), in_dim=D)
+    w["s2"] = w["s2"].astype(model_dtype)
+    w["z2"] = w["z2"].astype(model_dtype)
+    return w
+
+
 def head_logits(head, xf: jax.Array) -> jax.Array:
-    """lm_head projection for a plain (V, D) table or an int8 dict."""
+    """lm_head projection for a plain (V, D) table, an int8 dict, or a
+    W4A8-v2 int4 dict (quantize_head_int4)."""
+    if isinstance(head, dict) and "q4" in head:
+        from kvzip_tpu.ops.w4a8 import w4a8_linear_stacked
+        return w4a8_linear_stacked(xf, head, jnp.int32(0))
     if isinstance(head, dict):
         xq, xs = quantize_act_int8(xf)
         acc = jax.lax.dot_general(xq, head["q"], (((1,), (1,)), ((), ())),

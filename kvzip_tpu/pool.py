@@ -47,10 +47,10 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _static():
+def _static(default=0):
     """Fresh static (treedef / jit-key) field per use — a shared
     ``dataclasses.field`` instance breaks dataclass field registration."""
-    return dataclasses.field(metadata=dict(static=True), default=0)
+    return dataclasses.field(metadata=dict(static=True), default=default)
 
 
 @jax.tree_util.register_dataclass
@@ -81,6 +81,11 @@ class PoolInt4KV:
     # static geometry (host ints; part of the treedef / jit key)
     align: int = _static()    # layer offsets are multiples of this
     max_rows: int = _static()  # max over layers of round_up(live, align)
+    # tensor-parallel layout (parallel/pool_tp.py): tp > 0 means the pool
+    # columns hold tp uniform per-shard segments (sharded over "model"),
+    # layer_off/layer_rows are (tp, L), and row_head holds LOCAL head ids
+    tp: int = _static()
+    mesh: object = _static(None)
 
     @property
     def capacity(self) -> int:
@@ -125,6 +130,8 @@ class PoolKV:
     seen: jax.Array
     align: int = _static()
     max_rows: int = _static()
+    tp: int = _static()          # see PoolInt4KV
+    mesh: object = _static(None)
 
     @property
     def capacity(self) -> int:

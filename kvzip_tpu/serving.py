@@ -286,6 +286,10 @@ def _merge_pool(caches: Sequence) -> dict:
     # caches built by one engine always agree on these; a mixed batch
     # would otherwise fail deep inside a concatenate with an opaque shape
     # error (ADVICE r4)
+    if any(getattr(c, "tp", 0) for c in caches):
+        raise NotImplementedError(
+            "merged-pool batching of tensor-parallel pools is not "
+            "implemented; serve TP contexts unbatched")
     for b, c in enumerate(caches):
         got = (type(c).__name__, c.num_layers, c.k_tail.shape[1],
                c.k_tail.shape[2])

@@ -170,3 +170,46 @@ def test_engine_embed_quant_pipeline():
     eng.prune(st, 0.5, "pair")
     out = eng.generate(eng.apply_template("What is the launch code?"), st)
     assert isinstance(out, str)
+
+
+def test_int4_head_logits_close_to_full():
+    """int4h lm_head (group-128, W4A8-v2 kernel storage): logits close to
+    the unquantized projection; argmax stable on well-separated logits."""
+    import numpy as np
+    from kvzip_tpu.ops.quant import head_logits, quantize_head_int4
+
+    rng = np.random.default_rng(0)
+    V, D = 512, 256
+    head = jnp.asarray(rng.standard_normal((V, D)) * 0.05, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((3, D)), jnp.float32)
+    ref = np.asarray(head_logits(head, x))
+    got = np.asarray(head_logits(quantize_head_int4(head, jnp.float32), x))
+    assert got.shape == ref.shape
+    # int4 per-weight rounding is ~10% of a gaussian weight's sigma and
+    # logit signal and noise BOTH scale with sqrt(D), so relative logit
+    # noise is ~10% regardless of D — exactly why int4h stays opt-in and
+    # off the official bench config (see quantize_head_int4's docstring)
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert err < 0.2, err
+    # rows where the top-2 margin is clear must keep their argmax
+    srt = np.sort(ref, axis=1)
+    clear = (srt[:, -1] - srt[:, -2]) > 0.3 * np.abs(ref).max()
+    assert (ref.argmax(1)[clear] == got.argmax(1)[clear]).all()
+
+
+def test_engine_int4h_smoke():
+    from kvzip_tpu.config import tiny_config
+    from kvzip_tpu.engine import Engine
+
+    cfg = tiny_config("llama", head_dim=128, num_heads=4, num_kv_heads=2,
+                      hidden_size=128)
+    eng = Engine("tiny-llama", kv_type="evict", config=cfg,
+                 dtype=jnp.float32, max_new_tokens=6, decode_budget=256,
+                 capacity_granularity=256, score_chunk_size=256,
+                 weight_quant="w4a8", embed_quant="int4h",
+                 flat_decode="on", seed=2)
+    st = eng.prefill("The cargo manifest lists twelve crates of cobalt. "
+                     * 8, prefill_chunk_size=200)
+    eng.prune(st, 0.5, "pair")
+    out = eng.generate(eng.apply_template("What is listed?"), st)
+    assert isinstance(out, str)
