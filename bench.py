@@ -51,18 +51,25 @@ def _state_base(model, ctx, wq, kq, eq, ratio):
     return os.path.join(STATE_DIR, tag)
 
 
-def _bench_decode(eng, st, tag, decode_tokens):
+def _bench_decode(eng, st, tag, decode_tokens, repeats: int = 2):
     import jax  # noqa: F401
 
     q = eng.apply_template("Summarize the context.")
-    # warmup at the measured shape (compile), then time the second run
+    # warmup at the measured shape (compile), then take the BEST of
+    # ``repeats`` timed runs — chip throughput through the shared tunnel
+    # drifts up to ~8% between windows (two identical 28-layer chains
+    # measured 7.28 and 6.72 ms minutes apart); min-of-repeats, applied
+    # identically to the pruned AND full sides, keeps the comparison fair
+    # while shedding unlucky windows
     eng.generate(q, st, max_new_tokens=decode_tokens)
-    t0 = time.time()
-    eng.generate(q, st, max_new_tokens=decode_tokens)
-    dt = time.time() - t0
-    log(f"decode[{tag}]: {decode_tokens} tokens in {dt:.2f}s -> "
-        f"{1000 * dt / decode_tokens:.2f} ms/tok")
-    return dt / decode_tokens
+    best = float("inf")
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        eng.generate(q, st, max_new_tokens=decode_tokens)
+        best = min(best, time.time() - t0)
+    log(f"decode[{tag}]: {decode_tokens} tokens in {best:.2f}s (best of "
+        f"{repeats}) -> {1000 * best / decode_tokens:.2f} ms/tok")
+    return best / decode_tokens
 
 
 def _full_baseline_ms(eng, state, decode_tokens):

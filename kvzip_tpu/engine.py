@@ -273,7 +273,13 @@ class Engine:
             return 128
         if rows <= 65536:
             return 8192
-        return 32768
+        if rows <= 2 ** 20:
+            return 32768
+        # huge contexts: 64k blocks halve the pool grid's step count —
+        # dead-step floors across 28 launches are a measured ~0.9 ms of
+        # the decode-step constant (profile_decode_r5); the ~0.5 block of
+        # per-layer padding this adds is ~60 MB at 480k int4
+        return 65536
 
     def _impl(self, state: "KVState") -> str:
         from kvzip_tpu.cache import FlatInt4KV, FlatKV

@@ -35,14 +35,20 @@ NEG_INF = float("-inf")
 def _pick_block(max_rows: int, align: int, rows_q: int) -> int:
     """Key-block size: a power of two dividing ``align`` (so every layer
     offset is block-aligned), capped by the (rows_q, BLK) f32 score tile's
-    VMEM budget, targeting a grid near ~32 steps at decode shapes."""
+    VMEM budget, targeting a grid near ~32 steps at decode shapes.
+
+    Up to 64k-row blocks at huge contexts: the decode-step CONSTANT of a
+    28-layer model includes every dead (clamped) grid step of every
+    launch, measured at ~0.9 ms/step with 32k blocks at 480k
+    (tools/profile_decode_r5.py) — halving the step count takes a direct
+    bite out of it on BOTH the pruned and full sides."""
     a = 1 << (align.bit_length() - 1)
     if a != align:
         raise ValueError(f"pool align must be a power of two, got {align}")
     tgt = max(128, max_rows // 32)
     blk = 1 << max(tgt - 1, 1).bit_length()
-    vmem_cap = max(128, (6 * 2 ** 20 // (4 * rows_q)) // 128 * 128)
-    cap = 1 << (min(vmem_cap, 32768).bit_length() - 1)
+    vmem_cap = max(128, (12 * 2 ** 20 // (4 * rows_q)) // 128 * 128)
+    cap = 1 << (min(vmem_cap, 65536).bit_length() - 1)
     return max(128, min(blk, cap, align))
 
 

@@ -217,12 +217,12 @@ def _layer_kernel(m_ref, x_ref, attn_ref, lnm_ref, lna_ref,
             qlo_ref[...] = (alo_scr[:, :q_hb] * xs).astype(dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "g_hb_target"))
 def w4a8_layer_fused(x: jax.Array, attn_out: jax.Array,
                      ln_mlp: jax.Array, ln_attn: jax.Array,
                      w_o: dict, w_gu: dict, w_dn: dict, w_qkv: dict,
                      layer: jax.Array, *, eps: float,
-                     interpret: bool = False):
+                     interpret: bool = False, g_hb_target: int = 4736):
     """(x_new, qkv) for layer ``layer``: o-proj + residual + MLP + residual
     + NEXT layer's norm+qkv, one Pallas launch.
 
@@ -239,7 +239,7 @@ def w4a8_layer_fused(x: jax.Array, attn_out: jax.Array,
     d_ngb, d_half, _ = _geom(w_dn)
     q_ngb, q_half, _ = _geom(w_qkv)
     assert o_half * 2 == D and d_half * 2 == D
-    g_nob = max(1, round(g_half / 4736))
+    g_nob = max(1, round(g_half / g_hb_target))
     while g_half % g_nob:
         g_nob -= 1
     g_hb = g_half // g_nob

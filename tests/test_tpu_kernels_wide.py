@@ -49,6 +49,10 @@ PERF_FLOORS = {
     "scoring_extras": 52.0,      # r3: 67-69 TF (pre-v3) at block_q 576
     # GB/s of weight bytes read (the w4a8 decode roofline)
     "w4a8_stacked": 300.0,       # probe_w4a8_stacked.py
+    "w4a8_v2": 400.0,            # probe_w4a8_mat.py r5: 545 GB/s at gate/up
+    # fused activation kernels: ops/s floor (catastrophe guard; the
+    # printed fused-vs-XLA ratio is the decision evidence, VERDICT r4 #4)
+    "fused_act_norm": 0.05,      # >= 1 op / 20 us
 }
 
 
@@ -611,3 +615,163 @@ def test_perf_w4a8_stacked(rng):
             o, q4, s, z, jnp.asarray(7, jnp.int32)).astype(o.dtype)[:, :K],
         x, q4, s, z, n1=512, n2=4608)  # ~14 us/rep -> ~57 ms signal
     _check_floor("w4a8_stacked", gb / sec, "GB/s")
+
+
+# ---------------------------------------------------------- round-5 kernels
+def test_w4a8_v2_chip(rng):
+    """Column-blocked v2 stacked kernel COMPILED on chip vs its jnp
+    reference, including trimmed byte storage (scales padded to 8, edge
+    byte/activation blocks) at a non-multiple-of-8 group count."""
+    from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+    from kvzip_tpu.ops.w4a8_v2 import (repack_scales_v2,
+                                       w4a8_jnp_v2, w4a8_matmul_stacked_v2)
+
+    L, K, N = 3, 1664, 1024          # 13 groups -> Gp8 = 16, edge blocks
+    w = jnp.asarray(rng.standard_normal((L, K, N)) * 0.05, jnp.float32)
+    w2 = repack_scales_v2(quantize_weight_int4(w), in_dim=K)
+    x = jnp.asarray(rng.standard_normal((8, K)), jnp.bfloat16)
+    for layer in (0, 2):
+        got = np.asarray(w4a8_matmul_stacked_v2(
+            x, w2["q4"], w2["s2"], w2["z2"], jnp.int32(layer)), np.float32)
+        wl = {k: v[layer] for k, v in w2.items()}
+        want = np.asarray(w4a8_jnp_v2(x, wl), np.float32)
+        scale = np.abs(want).max() + 1e-6
+        assert np.abs(got - want).max() / scale < 2e-2, layer
+
+
+def test_megakernel_chip(rng):
+    """Per-layer fused decode megakernel COMPILED on chip vs the composed
+    per-launch path (same bf16 rounding points)."""
+    from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+    from kvzip_tpu.ops.w4a8_v2 import repack_scales_v2, w4a8_jnp_v2
+    from kvzip_tpu.ops.w4a8_fused import w4a8_layer_fused
+
+    L, D2, I2 = 2, 256, 384
+    H2, Dh2 = 2, 128
+    qdim = H2 * Dh2 + 2 * Dh2
+
+    def quant(IN, OUT, seed):
+        w = jnp.asarray(
+            np.random.default_rng(seed).standard_normal((L, IN, OUT))
+            * 0.05, jnp.float32)
+        return repack_scales_v2(quantize_weight_int4(w), in_dim=IN)
+
+    wo, wgu = quant(H2 * Dh2, D2, 1), quant(D2, 2 * I2, 2)
+    wdn, wqkv = quant(I2, D2, 3), quant(D2, qdim, 4)
+    lnm = jnp.asarray(rng.standard_normal((L, D2)) * 0.1 + 1, jnp.bfloat16)
+    lna = jnp.asarray(rng.standard_normal((L, D2)) * 0.1 + 1, jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((1, D2)) * 0.3, jnp.bfloat16)
+    attn = jnp.asarray(rng.standard_normal((1, H2 * Dh2)) * 0.3,
+                       jnp.bfloat16)
+
+    def rms(v, w):
+        vf = v.astype(jnp.float32)
+        var = jnp.mean(vf * vf, axis=-1, keepdims=True)
+        return (vf * jax.lax.rsqrt(var + 1e-6)
+                * w.astype(jnp.float32)).astype(v.dtype)
+
+    for layer in (0, L - 1):
+        sl = lambda w: {k: v[layer] for k, v in w.items()}
+        o = w4a8_jnp_v2(attn, sl(wo))
+        x1 = x + o
+        gu = w4a8_jnp_v2(rms(x1, lnm[layer]), sl(wgu))
+        x2 = x1 + w4a8_jnp_v2(
+            jax.nn.silu(gu[:, :I2]) * gu[:, I2:], sl(wdn))
+        nxt = min(layer + 1, L - 1)
+        qkv_ref = w4a8_jnp_v2(rms(x2, lna[nxt]), sl(wqkv))
+
+        x_got, qkv_got = w4a8_layer_fused(
+            x, attn, lnm[:, None, :], lna[:, None, :], wo, wgu, wdn, wqkv,
+            jnp.int32(layer), eps=1e-6)
+        for got, ref in ((x_got, x2), (qkv_got, qkv_ref)):
+            g, r = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+            scale = np.abs(r).max() + 1e-6
+            assert np.abs(g - r).max() / scale < 3e-2, layer
+
+
+def test_windowed_attend_chip(rng):
+    """Fused windowed scoring-attention COMPILED on chip vs the jnp
+    reference path at a multi-window production-like shape."""
+    from kvzip_tpu.ops.attention import windowed_scoring_attend
+    from kvzip_tpu.ops.windowed_attend import windowed_scoring_attend_fused
+
+    T, Hkv, G = 256, 4, 7
+    H = Hkv * G
+    sink, S_ctx = 160, 256
+
+    def mk(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * 0.3, jnp.bfloat16)
+
+    q = mk(T, H, D)
+    ks, kc, kr = mk(Hkv, sink, D), mk(Hkv, S_ctx, D), mk(T, Hkv, D)
+    vs, vc, vr = mk(Hkv, sink, D), mk(Hkv, S_ctx, D), mk(T, Hkv, D)
+    cl = jnp.asarray(200, jnp.int32)  # partial window (the common case)
+    ref = np.asarray(windowed_scoring_attend(
+        q, ks, kc, kr, vs, vc, vr, cl, scale=SCALE), np.float32)
+    got = np.asarray(windowed_scoring_attend_fused(
+        q, ks, kc, kr, vs, vc, vr, cl, scale=SCALE), np.float32)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(got - ref).max() / scale < 2e-2
+
+
+def test_perf_w4a8_v2(rng):
+    """v2 column-blocked stacked linear at the 7B gate/up shape (the
+    dominant decode weight read)."""
+    from kvzip_tpu.ops.w4a8 import quantize_weight_int4
+    from kvzip_tpu.ops.w4a8_v2 import repack_scales_v2, w4a8_matmul_stacked_v2
+
+    L, K, N = 4, 3584, 37888
+    key = jax.random.PRNGKey(6)
+    w = jax.random.normal(key, (K, N), jnp.float32) * 0.02
+    w2 = repack_scales_v2(quantize_weight_int4(w[None]), in_dim=K)
+    q4 = jnp.broadcast_to(w2["q4"], (L,) + w2["q4"].shape[1:])
+    s2 = jnp.broadcast_to(w2["s2"], (L,) + w2["s2"].shape[1:])
+    z2 = jnp.broadcast_to(w2["z2"], (L,) + w2["z2"].shape[1:])
+    x = jax.random.normal(key, (8, K), jnp.bfloat16)
+    gb = (q4[0].size + 2 * s2[0].size * 2) / 1e9
+
+    sec = _slope(
+        lambda o, q4, s2, z2: w4a8_matmul_stacked_v2(
+            o, q4, s2, z2, jnp.asarray(1, jnp.int32)).astype(o.dtype)[:, :K],
+        x, q4, s2, z2, n1=64, n2=384)  # ~150 us/rep -> ~48 ms signal
+    _check_floor("w4a8_v2", gb / sec, "GB/s")
+
+
+def test_perf_fused_act(rng):
+    """Fused W8A8 activation kernels vs the composed XLA path at the 7B
+    decode shape — the measured comparison VERDICT r4 item 4 asked for.
+    Floor guards the fused kernels only; the printed ratio decides the
+    engine default (act_fused)."""
+    from kvzip_tpu.models.transformer import rms_norm
+    from kvzip_tpu.ops.fused_act import rmsnorm_quant, silu_mul_quant
+    from kvzip_tpu.ops.quant import quantize_act_int8
+
+    key = jax.random.PRNGKey(8)
+    x = jax.random.normal(key, (8, 3584), jnp.bfloat16)
+    w = jax.random.normal(key, (3584,), jnp.bfloat16) * 0.5
+    g = jax.random.normal(key, (8, 18944), jnp.bfloat16)
+    u = jax.random.normal(key, (8, 18944), jnp.bfloat16)
+
+    sec_f = _slope(
+        lambda o, w: rmsnorm_quant(o, w, 1e-6)[0].astype(o.dtype)[:, :3584]
+        * jnp.bfloat16(1e-6) + o,
+        x, w, n1=512, n2=4096)
+    sec_x = _slope(
+        lambda o, w: quantize_act_int8(
+            rms_norm(o, w, 1e-6))[0].astype(o.dtype)[:, :3584]
+        * jnp.bfloat16(1e-6) + o,
+        x, w, n1=512, n2=4096)
+    sec_fs = _slope(
+        lambda o, u: silu_mul_quant(o, u)[0].astype(o.dtype)
+        * jnp.bfloat16(1e-6) + o,
+        g, u, n1=256, n2=2048)
+    sec_xs = _slope(
+        lambda o, u: quantize_act_int8(
+            jax.nn.silu(o) * u)[0].astype(o.dtype)
+        * jnp.bfloat16(1e-6) + o,
+        g, u, n1=256, n2=2048)
+    print(f"[perf] fused_act: rmsnorm_quant {sec_f * 1e6:.2f} us vs XLA "
+          f"{sec_x * 1e6:.2f} us ({sec_x / sec_f:.2f}x); silu_mul_quant "
+          f"{sec_fs * 1e6:.2f} us vs XLA {sec_xs * 1e6:.2f} us "
+          f"({sec_xs / sec_fs:.2f}x)", flush=True)
+    _check_floor("fused_act_norm", 1e-6 / sec_f, "Mops/s")

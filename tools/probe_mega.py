@@ -53,32 +53,37 @@ def main():
     attn = jnp.asarray(np.random.default_rng(1).standard_normal((1, H * Dh))
                        * .1, jnp.bfloat16)
 
-    def chain(x, _w):
-        def layer(carry, l):
-            xc, qkv = carry
-            xn, qn = w4a8_layer_fused(
-                xc, attn + qkv[:, :H * Dh].astype(attn.dtype)
-                * jnp.bfloat16(1e-3),
-                _w["lnm"], _w["lna"], _w["wo"], _w["wgu"], _w["wdn"],
-                _w["wqkv"], l, eps=1e-6)
-            return (xn, qn), None
-        qkv0 = jnp.zeros((1, H * Dh + 2 * Hkv * Dh), x.dtype)
-        (xn, _), _ = jax.lax.scan(layer, (x, qkv0),
-                                  jnp.arange(L, dtype=jnp.int32))
-        return xn
+    def make_chain(ghb):
+        def chain(x, _w):
+            def layer(carry, l):
+                xc, qkv = carry
+                xn, qn = w4a8_layer_fused(
+                    xc, attn + qkv[:, :H * Dh].astype(attn.dtype)
+                    * jnp.bfloat16(1e-3),
+                    _w["lnm"], _w["lna"], _w["wo"], _w["wgu"], _w["wdn"],
+                    _w["wqkv"], l, eps=1e-6, g_hb_target=ghb)
+                return (xn, qn), None
+            qkv0 = jnp.zeros((1, H * Dh + 2 * Hkv * Dh), x.dtype)
+            (xn, _), _ = jax.lax.scan(layer, (x, qkv0),
+                                      jnp.arange(L, dtype=jnp.int32))
+            return xn
+        return chain
 
     reps = 16
-    f = jax.jit(lambda x, _w: jax.lax.fori_loop(
-        0, reps, lambda i, c: chain(c, _w), x))
-    t0 = time.time()
-    np.asarray(jax.device_get(f(x0, w)))
-    tc = time.time() - t0
-    t0 = time.time()
-    np.asarray(jax.device_get(f(x0, w)))
-    dt = (time.time() - t0) / reps
-    log(f"mega chain: {dt * 1e3:.2f} ms per 28-layer step "
-        f"({gb / dt:.0f} GB/s) [compile+1st {tc:.0f}s]  "
-        f"(composed v2 chain measured 7.28 ms)")
+    variants = [int(a) for a in sys.argv[1:]] or [4736]
+    for ghb in variants:
+        chain = make_chain(ghb)
+        f = jax.jit(lambda x, _w, chain=chain: jax.lax.fori_loop(
+            0, reps, lambda i, c: chain(c, _w), x))
+        t0 = time.time()
+        np.asarray(jax.device_get(f(x0, w)))
+        tc = time.time() - t0
+        t0 = time.time()
+        np.asarray(jax.device_get(f(x0, w)))
+        dt = (time.time() - t0) / reps
+        log(f"mega chain g_hb={ghb}: {dt * 1e3:.2f} ms per 28-layer step "
+            f"({gb / dt:.0f} GB/s) [compile+1st {tc:.0f}s]  "
+            f"(composed v2 chain: 7.28 ms)")
 
 
 if __name__ == "__main__":
