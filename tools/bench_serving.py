@@ -1,12 +1,15 @@
-"""On-chip batched-serving bench: N evicted (flat int4) contexts decoding
-concurrently vs single-stream (VERDICT r1 item 8: aggregate > 4x single).
+"""On-chip batched-serving bench: N evicted contexts decoding concurrently
+vs single-stream (VERDICT r1 item 8: aggregate > 4x single; VERDICT r4
+item 8: the merged-POOL path measured on chip, not just CPU-parity).
 
-Builds N synthetic post-eviction FlatInt4KV states (32k ctx at ratio 0.3
-geometry), ingests one query per context, then measures:
+Builds N synthetic post-eviction states (32k ctx at ratio 0.3 geometry) in
+either the legacy flat-int4 layout or the default POOL layout, ingests one
+query per context, then measures:
   - single-stream: sequential eng.generate per state
   - batched: serving.batched_generate over all N
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 4000 python tools/bench_serving.py [N]
+Run: PYTHONPATH=/root/repo:/root/.axon_site timeout 4000 \
+       python tools/bench_serving.py [N] [DECODE] [pool|legacy]
 """
 
 import dataclasses
@@ -30,6 +33,7 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 CTX = 32768
 RATIO = 0.3
 DECODE = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+LAYOUT = sys.argv[3] if len(sys.argv) > 3 else "pool"
 
 
 def log(m):
@@ -68,15 +72,35 @@ def make_state(eng, cfg, seed):
     return st
 
 
+def make_pool_state(eng, cfg, seed):
+    """Post-eviction geometry in the default POOL layout (the layout real
+    prune() builds since round 4); value-independent decode timing makes a
+    synthetic fill equivalent to a real pruned pool."""
+    from kvzip_tpu.pool import synthetic_full_pool
+
+    cache = synthetic_full_pool(
+        cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+        per_head_rows=int(CTX * RATIO), tail_cap=eng.decode_budget,
+        int4=True, seen=CTX)
+    st = KVState(cache=cache, kv_type="evict", sink=0, ctx_len=CTX,
+                 prefill_len=CTX, pruned=True,
+                 prefill_ids=np.zeros((1,), np.int32))
+    st.snapshot()
+    return st
+
+
 def main():
     cfg = resolve_config("qwen2.5-7b")
     eng = Engine("qwen2.5-7b", kv_type="evict", config=cfg,
                  dtype=jnp.bfloat16, max_new_tokens=DECODE,
                  decode_budget=DECODE + 192, weight_quant="w8a8",
-                 kv_quant="int4", flat_decode="on")
+                 kv_quant="int4",
+                 flat_decode=("auto" if LAYOUT == "pool" else "on"))
     eng.eos_ids = (-1,)
 
-    states = [make_state(eng, cfg, i) for i in range(N)]
+    mk = make_pool_state if LAYOUT == "pool" else make_state
+    log(f"layout={LAYOUT} N={N} decode={DECODE}")
+    states = [mk(eng, cfg, i) for i in range(N)]
     queries = [eng.apply_template(f"Summarize topic {i}.") for i in range(N)]
 
     # single-stream (warm then measure one stream)
