@@ -50,8 +50,9 @@ def build_parser():
     common(sp_eval)
     sp_eval.add_argument(
         "--canary", action="store_true",
-        help="force every prediction to echo the ground truth: a nonzero "
-        "end-to-end check of save_result -> parse -> evaluate_answer "
+        help="force every prediction to echo a ratio-graded prefix of the "
+        "ground truth: a nonzero end-to-end check of save_result -> parse "
+        "-> evaluate_answer whose table must DECREASE with the prune ratio "
         "(random-weight rehearsals otherwise score 0.00 everywhere, which "
         "would also mask a scoring-path bug; VERDICT r4 weak #6). Results "
         "are tagged _canary so they never mix with real sweeps")
@@ -163,12 +164,27 @@ def cmd_eval(args):
         args.tag = (args.tag or "") + "_canary"
 
     class _CanaryEvaluator(Evaluator):
-        """Predictions echo the ground truth (no model generation): proves
-        the metric plumbing end-to-end produces nonzero tables."""
+        """Predictions echo a RATIO-GRADED prefix of the ground truth (no
+        model generation): proves the metric plumbing end-to-end produces
+        nonzero tables AND that the metrics discriminate — the parse table
+        must show scores decreasing with the prune ratio, which a bug that
+        hardwired any constant through save_result -> parse could not
+        produce. The full-cache prediction stays the exact echo (score 100
+        at ratio 1.0)."""
+
+        canary_ratio = 1.0  # set per-ratio by the sweep loop below
 
         def generation(self, state, task):
             gt = self.decode(self.inputs[task]["gt"])
-            return {"pruned": gt, "full__": gt, "answer": gt}
+            words = gt.split() or [gt]
+            if len(words) == 1:
+                # single-token answers (gsm) cannot be prefix-degraded;
+                # flip to a wrong answer below ratio 0.5 for a step change
+                part = gt if self.canary_ratio >= 0.5 else "unknown"
+            else:
+                n = max(1, int(round(len(words) * self.canary_ratio)))
+                part = " ".join(words[:n])
+            return {"pruned": part, "full__": gt, "answer": gt}
 
     for data_idx in range(args.idx, max_idx):
         state = dataset.prefill_context(data_idx,
@@ -180,6 +196,8 @@ def cmd_eval(args):
         outputs = defaultdict(list)
         for ratio in set_ratios(args.model):
             thres, ratio_true = engine.prune(state, ratio, args.level)
+            if canary:
+                evaluator.canary_ratio = ratio
             results = evaluator(state, generate=True)
             for fmt, v in results.items():
                 outputs[fmt].append(
