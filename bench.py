@@ -51,16 +51,17 @@ def _state_base(model, ctx, wq, kq, eq, ratio):
     return os.path.join(STATE_DIR, tag)
 
 
-def _bench_decode(eng, st, tag, decode_tokens, repeats: int = 2):
+def _bench_decode(eng, st, tag, decode_tokens, repeats: int = 3):
     import jax  # noqa: F401
 
     q = eng.apply_template("Summarize the context.")
     # warmup at the measured shape (compile), then take the BEST of
     # ``repeats`` timed runs — chip throughput through the shared tunnel
     # drifts up to ~8% between windows (two identical 28-layer chains
-    # measured 7.28 and 6.72 ms minutes apart); min-of-repeats, applied
-    # identically to the pruned AND full sides, keeps the comparison fair
-    # while shedding unlucky windows
+    # measured 7.28 and 6.72 ms minutes apart; the r5 warm1024 run came in
+    # 6-7% above the same state's loop-slope prediction on BOTH sides);
+    # min-of-repeats, applied identically to the pruned AND full sides,
+    # keeps the comparison fair while shedding unlucky windows
     eng.generate(q, st, max_new_tokens=decode_tokens)
     best = float("inf")
     for _ in range(max(1, repeats)):
@@ -279,10 +280,14 @@ def _result_line(cfg_i, r, ratio):
 
 
 def main():
-    # 256 decode tokens: the ~100-150 ms fixed per-generate dispatch cost
-    # (tunnel + query forward) amortizes to <1 ms/tok, so ms/tok reflects
-    # the steady-state decode rate rather than call overhead
-    dec = int(os.environ.get("BENCH_DECODE", 256))
+    # 1024 decode tokens: the fixed per-generate dispatch cost (tunnel
+    # round trips + query ingestion) measured ~0.2 s regardless of token
+    # count (profile_decode_r5b: 6.96 ms/step loop slope vs 10.15 ms/tok
+    # for a 64-token generate at the same state). At 256 tokens it
+    # inflated BOTH decode sides by ~0.8 ms/tok — an additive constant
+    # that understates the honest speedup ratio; 1024 amortizes it to
+    # ~0.2 ms/tok so ms/tok reflects the steady-state decode rate
+    dec = int(os.environ.get("BENCH_DECODE", 1024))
     ratio = float(os.environ.get("BENCH_RATIO", 0.3))
 
     if os.environ.get("BENCH_CHILD") == "1" or "BENCH_MODEL" in os.environ \

@@ -205,10 +205,16 @@ class Engine:
         self.set_chat_template()
         self._decode_fns = {}
         # per-layer fused W4A8 decode megakernel (ops/w4a8_fused.py):
-        # "auto" (on-chip when shapes allow) | "on" (also CPU interpret,
+        # "auto"/"on" (on-chip when shapes allow; "on" also CPU interpret,
         # tests) | "off". Resolved once — it is a static jit key.
+        # DEFAULT OFF by measurement (bench_results/profile_decode_r5_480k_b):
+        # once the decode scan stopped materializing per-layer tail slices,
+        # the composed v2-kernel chain measures 10.34 ms/step at 7B/480k vs
+        # 10.71 for the megakernel — XLA overlaps the composed launches'
+        # DMA/compute across kernels, which the megakernel's single serial
+        # grid cannot, and that beats its launch-count savings.
         import os as _os
-        self.fuse_layer = _os.environ.get("KVZIP_MEGAKERNEL", "auto")
+        self.fuse_layer = _os.environ.get("KVZIP_MEGAKERNEL", "off")
 
     # ------------------------------------------------------------------ text
     def encode(self, text: str) -> np.ndarray:
@@ -917,6 +923,15 @@ class Engine:
             return jnp.asarray(v)
 
         kwargs = {k: rehydrate(k, v) for k, v in data.items()}
+        # grow the (empty) decode tail to this engine's budget when the
+        # state was saved by an engine with a smaller one — tail capacity
+        # is static per artifact, and a longer generate would otherwise
+        # trip _check_capacity even though only zeros are stored
+        tcap = kwargs["k_tail"].shape[2]
+        if self.decode_budget > tcap:
+            pad = ((0, 0), (0, 0), (0, self.decode_budget - tcap), (0, 0))
+            kwargs["k_tail"] = jnp.pad(kwargs["k_tail"], pad)
+            kwargs["v_tail"] = jnp.pad(kwargs["v_tail"], pad)
         cache = cls(**kwargs, align=int(meta["align"]),
                     max_rows=int(meta["max_rows"]))
         state = KVState(

@@ -289,14 +289,27 @@ def forward(
         q = apply_rope(q, cos_g, sin_g)
         k = apply_rope(k, cos_g, sin_g)
 
-        layer_store = tuple(a[layer_idx] for a in store)
-        kt = jax.lax.dynamic_update_slice(
-            layer_store[0], jnp.swapaxes(k, 0, 1), (0, tail_len0, 0))
-        vt = jax.lax.dynamic_update_slice(
-            layer_store[1], jnp.swapaxes(v, 0, 1), (0, tail_len0, 0))
-        layer_store = (kt, vt)
-        store = [a.at[layer_idx].set(s)
-                 for a, s in zip(store, layer_store)]
+        if is_pool:
+            # append T rows straight into the FULL (L, Hkv, Tcap, D) tail
+            # stacks (in-place on the donated carry) and hand the stacks to
+            # the pool kernel, whose prefetched layer scalar selects the
+            # block — the old per-layer slice + scatter-back materialized
+            # ~2.6 MB x 4 of copies per layer (~0.4 ms/step at Tcap=1280)
+            store = [
+                jax.lax.dynamic_update_slice(
+                    a, jnp.swapaxes(r, 0, 1)[None],
+                    (layer_idx, jnp.int32(0), tail_len0, jnp.int32(0)))
+                for a, r in zip(store, (k, v))]
+            layer_store = (store[0], store[1])
+        else:
+            layer_store = tuple(a[layer_idx] for a in store)
+            kt = jax.lax.dynamic_update_slice(
+                layer_store[0], jnp.swapaxes(k, 0, 1), (0, tail_len0, 0))
+            vt = jax.lax.dynamic_update_slice(
+                layer_store[1], jnp.swapaxes(v, 0, 1), (0, tail_len0, 0))
+            layer_store = (kt, vt)
+            store = [a.at[layer_idx].set(s)
+                     for a, s in zip(store, layer_store)]
 
         attn_out = _cache_attend_flat(q, layer_store, layer_idx)
         x, qkv_next = w4a8_layer_fused(
@@ -362,23 +375,36 @@ def forward(
         # scoring chunk (~14 s/chunk at 7B/480k). The chunk's own K/V ride
         # into the attention kernel as VMEM inputs instead.
         readonly = scoring and is_int4
-        layer_store = tuple(a[layer_idx] for a in store)
-        if is_int4:
-            if not readonly:
-                layer_store = append_layer_int4(layer_store, base_lens, k, v)
-        elif is_flat:
-            # uniform tail append at tail_len (all heads advance together)
-            kt = jax.lax.dynamic_update_slice(
-                layer_store[0], jnp.swapaxes(k, 0, 1), (0, tail_len0, 0))
-            vt = jax.lax.dynamic_update_slice(
-                layer_store[1], jnp.swapaxes(v, 0, 1), (0, tail_len0, 0))
-            layer_store = (kt, vt)
+        if is_flat and is_pool and not getattr(cache, "tp", 0):
+            # stacked in-place tail append (see layer_fn_mega): the pool
+            # kernels take the full (L, ...) tail stacks, so the per-layer
+            # slice + scatter-back copies are never materialized
+            store = [
+                jax.lax.dynamic_update_slice(
+                    a, jnp.swapaxes(r, 0, 1)[None],
+                    (layer_idx, jnp.int32(0), tail_len0, jnp.int32(0)))
+                for a, r in zip(store, (k, v))]
+            layer_store = (store[0], store[1])
         else:
-            layer_store = append_layer(layer_store[0], layer_store[1],
-                                       base_lens, k, v)
-        if not readonly:
-            store = [a.at[layer_idx].set(s)
-                     for a, s in zip(store, layer_store)]
+            layer_store = tuple(a[layer_idx] for a in store)
+            if is_int4:
+                if not readonly:
+                    layer_store = append_layer_int4(layer_store, base_lens,
+                                                    k, v)
+            elif is_flat:
+                # uniform tail append at tail_len (all heads advance
+                # together)
+                kt = jax.lax.dynamic_update_slice(
+                    layer_store[0], jnp.swapaxes(k, 0, 1), (0, tail_len0, 0))
+                vt = jax.lax.dynamic_update_slice(
+                    layer_store[1], jnp.swapaxes(v, 0, 1), (0, tail_len0, 0))
+                layer_store = (kt, vt)
+            else:
+                layer_store = append_layer(layer_store[0], layer_store[1],
+                                           base_lens, k, v)
+            if not readonly:
+                store = [a.at[layer_idx].set(s)
+                         for a, s in zip(store, layer_store)]
 
         # -- KVzip reconstruction scoring hook (attn.py:53-54) --
         if scoring:

@@ -69,10 +69,10 @@ def _pool_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
                       vq_ref, vs_ref, vz_ref, kt_ref, vt_ref,
                       o_ref, m_scr, l_scr, acc_scr,
                       *, num_layers: int, nb_max: int, n_q: int, g: int,
-                      scale: float, dtype, q8: bool):
+                      scale: float, dtype, q8: bool, stacked_tail: bool):
     kb = pl.program_id(0)
     HT, D = q_ref.shape
-    Hkv, Tcap, _ = kt_ref.shape
+    Hkv, Tcap, _ = kt_ref.shape[-3:]
     layer = meta_ref[0]
     nb_l = meta_ref[1 + num_layers + layer]
 
@@ -165,14 +165,16 @@ def _pool_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
         for hh in range(Hkv):
             maskt = col_t < meta_ref[1 + 2 * num_layers + hh] + qi + 1
             sl = slice(hh * rows_h, (hh + 1) * rows_h)
+            ktl = kt_ref[0, hh] if stacked_tail else kt_ref[hh]
+            vtl = vt_ref[0, hh] if stacked_tail else vt_ref[hh]
             st = jax.lax.dot_general(
-                q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
+                q[sl], ktl, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             st = jnp.where(maskt, st, NEG_INF)
             _online_update(
                 sl, st,
                 lambda p: jax.lax.dot_general(
-                    p.astype(vt_ref.dtype), vt_ref[hh],
+                    p.astype(vtl.dtype), vtl,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32),
                 m_scr, l_scr, acc_scr)
@@ -184,10 +186,10 @@ def _pool_int4_kernel(meta_ref, q_ref, rh_ref, kq_ref, ks_ref, kz_ref,
 def _pool_bf16_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref,
                       vt_ref, o_ref, m_scr, l_scr, acc_scr,
                       *, num_layers: int, nb_max: int, n_q: int, g: int,
-                      scale: float, dtype):
+                      scale: float, dtype, stacked_tail: bool):
     kb = pl.program_id(0)
     HT, D = q_ref.shape
-    Hkv, Tcap, _ = kt_ref.shape
+    Hkv, Tcap, _ = kt_ref.shape[-3:]
     layer = meta_ref[0]
     nb_l = meta_ref[1 + num_layers + layer]
 
@@ -222,14 +224,16 @@ def _pool_bf16_kernel(meta_ref, q_ref, rh_ref, kf_ref, vf_ref, kt_ref,
         for hh in range(Hkv):
             maskt = col_t < meta_ref[1 + 2 * num_layers + hh] + qi + 1
             sl = slice(hh * rows_h, (hh + 1) * rows_h)
+            ktl = kt_ref[0, hh] if stacked_tail else kt_ref[hh]
+            vtl = vt_ref[0, hh] if stacked_tail else vt_ref[hh]
             st = jax.lax.dot_general(
-                q[sl], kt_ref[hh], (((1,), (1,)), ((), ())),
+                q[sl], ktl, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             st = jnp.where(maskt, st, NEG_INF)
             _online_update(
                 sl, st,
                 lambda p: jax.lax.dot_general(
-                    p.astype(vt_ref.dtype), vt_ref[hh],
+                    p.astype(vtl.dtype), vtl,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32),
                 m_scr, l_scr, acc_scr)
@@ -276,11 +280,11 @@ def pool_decode_attend_int4(
     row_head: jax.Array,   # (1, P) int32
     layer_off: jax.Array,  # (L,) int32 row offsets
     layer_rows: jax.Array,  # (L,) int32 live rows
-    k_tail: jax.Array,     # (Hkv, T_cap, D) bf16 — CURRENT layer's tail
-    v_tail: jax.Array,
-    tail_len: jax.Array,   # () int32
-    layer: jax.Array,      # () int32
-    *,
+    k_tail: jax.Array,     # (Hkv, T_cap, D) bf16 — CURRENT layer's tail,
+    v_tail: jax.Array,     # or (L, Hkv, T_cap, D): the FULL tail stacks —
+    tail_len: jax.Array,   # the prefetched layer scalar selects the block
+    layer: jax.Array,      # (saves the decode scan's per-layer slice COPY
+    *,                     # + scatter-back, ~0.4 ms/step at a 1280 cap)
     scale: float,
     align: int,
     max_rows: int,
@@ -289,7 +293,8 @@ def pool_decode_attend_int4(
     q8: bool = False,
 ) -> jax.Array:
     T, H, D = q.shape
-    Hkv, Tcap, _ = k_tail.shape
+    stacked_tail = k_tail.ndim == 4
+    Hkv, Tcap, _ = k_tail.shape[-3:]
     G = H // Hkv
     L = layer_off.shape[0]
     HT = H * T
@@ -301,6 +306,11 @@ def pool_decode_attend_int4(
     meta = _meta(layer, layer_off, layer_rows, tail_len, Hkv, BLK)
 
     blk = _blk_map(L)
+    if stacked_tail:
+        tail_spec = pl.BlockSpec((1, Hkv, Tcap, D),
+                                 lambda kb, m: (m[0], 0, 0, 0))
+    else:
+        tail_spec = pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_max,),
@@ -313,8 +323,8 @@ def pool_decode_attend_int4(
             pl.BlockSpec((D // 2, BLK), blk),     # v nibbles
             pl.BlockSpec((1, BLK), blk),          # v scale
             pl.BlockSpec((1, BLK), blk),          # v zero
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+            tail_spec,
+            tail_spec,
         ],
         out_specs=pl.BlockSpec((HT, D), lambda kb, m: (0, 0)),
         scratch_shapes=[
@@ -325,7 +335,7 @@ def pool_decode_attend_int4(
     )
     kernel = functools.partial(
         _pool_int4_kernel, num_layers=L, nb_max=nb_max, n_q=T, g=G,
-        scale=scale, dtype=q.dtype, q8=q8)
+        scale=scale, dtype=q.dtype, q8=q8, stacked_tail=stacked_tail)
 
     out = pl.pallas_call(
         kernel,
@@ -353,9 +363,9 @@ def pool_decode_attend(
     row_head: jax.Array,   # (1, P) int32
     layer_off: jax.Array,  # (L,)
     layer_rows: jax.Array,
-    k_tail: jax.Array,     # (Hkv, T_cap, D) — CURRENT layer's tail
-    v_tail: jax.Array,
-    tail_len: jax.Array,
+    k_tail: jax.Array,     # (Hkv, T_cap, D) — CURRENT layer's tail, or
+    v_tail: jax.Array,     # (L, Hkv, T_cap, D) full stacks (layer-selected
+    tail_len: jax.Array,   # by the prefetched scalar, no slice copy)
     layer: jax.Array,
     *,
     scale: float,
@@ -365,7 +375,8 @@ def pool_decode_attend(
     interpret: bool = False,
 ) -> jax.Array:
     T, H, D = q.shape
-    Hkv, Tcap, _ = k_tail.shape
+    stacked_tail = k_tail.ndim == 4
+    Hkv, Tcap, _ = k_tail.shape[-3:]
     G = H // Hkv
     L = layer_off.shape[0]
     HT = H * T
@@ -383,6 +394,11 @@ def pool_decode_attend(
         nb_l = m[1 + L + layer]
         return (m[1 + layer] + jnp.minimum(kb, nb_l - 1), 0)
 
+    if stacked_tail:
+        tail_spec = pl.BlockSpec((1, Hkv, Tcap, D),
+                                 lambda kb, m: (m[0], 0, 0, 0))
+    else:
+        tail_spec = pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_max,),
@@ -391,8 +407,8 @@ def pool_decode_attend(
             pl.BlockSpec((1, BLK), blk),          # row_head
             pl.BlockSpec((D, BLK), blk),          # k (transposed)
             pl.BlockSpec((BLK, D), vblk),         # v (row-major)
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
-            pl.BlockSpec((Hkv, Tcap, D), lambda kb, m: (0, 0, 0)),
+            tail_spec,
+            tail_spec,
         ],
         out_specs=pl.BlockSpec((HT, D), lambda kb, m: (0, 0)),
         scratch_shapes=[
@@ -403,7 +419,7 @@ def pool_decode_attend(
     )
     kernel = functools.partial(
         _pool_bf16_kernel, num_layers=L, nb_max=nb_max, n_q=T, g=G,
-        scale=scale, dtype=q.dtype)
+        scale=scale, dtype=q.dtype, stacked_tail=stacked_tail)
 
     out = pl.pallas_call(
         kernel,

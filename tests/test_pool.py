@@ -384,6 +384,20 @@ def test_pool_save_load_roundtrip(tmp_path, dtype):
     np.testing.assert_array_equal(np.asarray(st2.cache.layer_off),
                                   np.asarray(st.cache.layer_off))
 
+    # an engine with a BIGGER decode budget grows the (empty) tail on load
+    # instead of tripping _check_capacity on long generates (bench.py runs
+    # 1024-token decodes against states saved by a 512-budget engine)
+    eng_big = Engine("tiny-llama", kv_type="evict", config=cfg, dtype=dtype,
+                     max_new_tokens=6, decode_budget=512,
+                     capacity_granularity=256, score_chunk_size=256,
+                     kv_quant="int4", flat_decode="on", params=eng.params,
+                     tokenizer=eng.tokenizer)
+    st3 = eng_big.load_state(path)
+    assert st3.cache.k_tail.shape[2] == 512
+    got3 = eng_big.generate(eng_big.apply_template("What is the callsign?"),
+                            st3)
+    assert got3 == want
+
 
 def test_synthetic_full_pool_geometry():
     from kvzip_tpu.pool import synthetic_full_pool

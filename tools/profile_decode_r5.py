@@ -1,8 +1,9 @@
-"""Decompose the round-5 decode step (megakernel + pool) from the 16k
-saved state — the per-step CONSTANT is context-independent, so this
-attributes the 480k constant too.
+"""Decompose the round-5 decode step (megakernel + pool) from a saved
+state — the per-step CONSTANT is context-independent, so the default 16k
+state attributes the 480k constant too; pass a state base path (or
+"480k") to decompose the flagship state directly.
 
-    timeout 1800 python tools/profile_decode_r5.py
+    timeout 1800 python tools/profile_decode_r5.py [16k|480k|<base>]
 """
 
 import os
@@ -39,8 +40,12 @@ def main():
                  weight_quant="w4a8", kv_quant="int4", embed_quant="int8",
                  flat_decode="on")
     eng.eos_ids = (-1,)
-    st = eng.load_state(".bench_state/qwen2.5-7b_16384_w4a8_int4_int8_r0.3")
-    log(f"state loaded: {st.mem_gb()} GB")
+    sel = sys.argv[1] if len(sys.argv) > 1 else "16k"
+    base = {"16k": ".bench_state/qwen2.5-7b_16384_w4a8_int4_int8_r0.3",
+            "480k": ".bench_state/qwen2.5-7b_480000_w4a8_int4_int8_r0.3",
+            }.get(sel, sel)
+    st = eng.load_state(base)
+    log(f"state loaded ({base}): {st.mem_gb()} GB")
     params = eng.params
     cache = st.cache
 
