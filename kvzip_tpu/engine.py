@@ -313,16 +313,19 @@ class Engine:
             return "flash"
         return "dense" if state.cache.capacity <= 4096 else "blockwise"
 
-    def _check_capacity(self, state: KVState, need: int):
+    def _check_capacity(self, state: KVState, need: int, cur=None):
         """Fail loudly instead of letting a clamped dynamic_update_slice
-        silently corrupt the cache tail."""
+        silently corrupt the cache tail. ``cur``: already-fetched tail_len
+        (each device_get is a full tunnel round trip, ~40-60 ms — generate
+        fetches it once and shares it with _maybe_refold)."""
         from kvzip_tpu.cache import FlatInt4KV, FlatKV
         from kvzip_tpu.pool import PoolInt4KV, PoolKV
 
         cache = state.cache
         if isinstance(cache, (FlatKV, FlatInt4KV, PoolKV, PoolInt4KV)):
             cap = cache.k_tail.shape[2]
-            cur = int(jax.device_get(cache.tail_len))
+            if cur is None:
+                cur = int(jax.device_get(cache.tail_len))
             if cur + need > cap:
                 raise ValueError(
                     f"query+generation needs {need} tail rows but only "
@@ -335,18 +338,20 @@ class Engine:
                     f"query+generation needs {need} rows beyond {cur} but "
                     f"capacity is {cache.capacity}; raise decode_budget")
 
-    def _maybe_refold(self, state: KVState, need: int):
+    def _maybe_refold(self, state: KVState, need: int, cur=None):
         """Multi-turn beyond the tail budget on the flat evict path: fold the
         committed tail into the flat context (reference re-gathers the
         flattened cache every ``slice``, `attention/kvcache.py:82-106`; here
-        it happens only when the tail is about to overflow)."""
+        it happens only when the tail is about to overflow). ``cur``: see
+        _check_capacity."""
         from kvzip_tpu.cache import FlatInt4KV, FlatKV, refold_flat
         from kvzip_tpu.pool import PoolInt4KV, PoolKV, refold_pool
 
         cache = state.cache
         if isinstance(cache, (PoolKV, PoolInt4KV)):
             cap = cache.k_tail.shape[2]
-            cur = int(jax.device_get(cache.tail_len))
+            if cur is None:
+                cur = int(jax.device_get(cache.tail_len))
             if cur + need <= cap:
                 return
             if getattr(cache, "tp", 0):
@@ -360,7 +365,8 @@ class Engine:
         if not isinstance(cache, (FlatKV, FlatInt4KV)):
             return
         cap = cache.k_tail.shape[2]
-        cur = int(jax.device_get(cache.tail_len))
+        if cur is None:
+            cur = int(jax.device_get(cache.tail_len))
         if cur + need <= cap:
             return
         lens = np.asarray(jax.device_get(cache.lengths))
@@ -1025,9 +1031,18 @@ class Engine:
         # COMMITTED rows between generates (read-only queries are restored
         # away), so folding them into the flat/pool context is always sound
         # — and a read-only query after many committed turns must not be
-        # blocked by a full tail
-        self._maybe_refold(state, len(query_ids) + max_new)
-        self._check_capacity(state, len(query_ids) + max_new)
+        # blocked by a full tail. tail_len is fetched ONCE and shared: each
+        # device_get is a tunnel round trip (~40-60 ms), a measurable slice
+        # of the fixed per-generate cost (NOTES r5 item 1)
+        from kvzip_tpu.cache import FlatInt4KV as _FI4, FlatKV as _FK
+        from kvzip_tpu.pool import PoolInt4KV as _PI4, PoolKV as _PK
+        cur = (int(jax.device_get(state.cache.tail_len))
+               if isinstance(state.cache, (_FK, _FI4, _PK, _PI4)) else None)
+        cache_before = state.cache
+        self._maybe_refold(state, len(query_ids) + max_new, cur)
+        if state.cache is not cache_before:
+            cur = 0  # refold emptied the tail
+        self._check_capacity(state, len(query_ids) + max_new, cur)
         state.snapshot()
 
         logits = self._forward_chunks(query_ids.astype(np.int32), state, "last")
@@ -1038,9 +1053,11 @@ class Engine:
         tokens, n, done, cache = run(self.params, state.cache, first)
         state.cache = cache
 
-        n = int(jax.device_get(n))
-        done = bool(jax.device_get(done))
-        tokens = np.asarray(jax.device_get(tokens))[:n + 1]
+        # ONE host transfer for all three results (3 round trips -> 1)
+        n, done, tokens = jax.device_get((n, done, tokens))
+        n = int(n)
+        done = bool(done)
+        tokens = np.asarray(tokens)[:n + 1]
         if done and len(tokens) and tokens[-1] in self.eos_ids:
             tokens = tokens[:-1]
 
