@@ -51,7 +51,7 @@ def _state_base(model, ctx, wq, kq, eq, ratio):
     return os.path.join(STATE_DIR, tag)
 
 
-def _bench_decode(eng, st, tag, decode_tokens, repeats: int = 3):
+def _bench_decode(eng, st, tag, decode_tokens, repeats: int = 4):
     import jax  # noqa: F401
 
     q = eng.apply_template("Summarize the context.")

@@ -343,7 +343,7 @@ def pool_decode_attend_int4(
         out_shape=jax.ShapeDtypeStruct((HT, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=127 * 2 ** 20),
         interpret=interpret,
     )(meta, q2, row_head.astype(jnp.int32), k_pool_q,
       k_pool_s.astype(jnp.float32), k_pool_z.astype(jnp.float32),
@@ -427,7 +427,7 @@ def pool_decode_attend(
         out_shape=jax.ShapeDtypeStruct((HT, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 2 ** 20),
+            vmem_limit_bytes=127 * 2 ** 20),
         interpret=interpret,
     )(meta, q2, row_head.astype(jnp.int32), k_pool, v_pool, k_tail, v_tail)
 
