@@ -76,15 +76,18 @@ class KVState:
     def snapshot(self):
         from kvzip_tpu.cache import snapshot as cache_snapshot
 
-        self._snap = {}
-        for k, v in cache_snapshot(self.cache).items():
-            if k in ("k_ring", "v_ring"):
-                # device-side copy: forwards donate the cache, so the live
-                # ring buffer gets overwritten in place — a plain reference
-                # would alias a dead buffer
-                self._snap[k] = jnp.copy(v)
-            else:
-                self._snap[k] = np.asarray(jax.device_get(v))
+        snap = cache_snapshot(self.cache)
+        # device-side copy for rings: forwards donate the cache, so the
+        # live ring buffer gets overwritten in place — a plain reference
+        # would alias a dead buffer
+        rings = {k: jnp.copy(snap.pop(k))
+                 for k in ("k_ring", "v_ring") if k in snap}
+        # counters fetch in ONE device_get — each separate device_get is a
+        # full tunnel round trip (~40-60 ms), and generate snapshots per
+        # call (part of the fixed per-generate cost, NOTES r5 item 1)
+        fetched = jax.device_get(snap)
+        self._snap = {k: np.asarray(v) for k, v in fetched.items()}
+        self._snap.update(rings)
 
     def restore_snapshot(self):
         # device arrays (ring backups) are COPIED in: the restored cache is
